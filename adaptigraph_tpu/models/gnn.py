@@ -1,0 +1,307 @@
+"""Particle-relation interaction network for material-adaptive dynamics.
+
+Functional JAX re-design of the reference ``DynamicsPredictor``
+(reference: ``src/dynamics/gnn/model.py:64-342``): same computation graph —
+particle/relation encoders, ``pstep`` rounds of relation propagation with
+residual particle updates, a non-rigid motion head with clamping, and
+physics-parameter conditioning — but:
+
+- parameters are a plain pytree; the forward is a pure function of
+  ``(params, graph)`` so ``jit``/``vmap``/``grad``/``scan`` compose freely
+- message passing runs on the static ``(N, K)`` neighbor graph
+  (``adaptigraph_tpu.ops.graph``): ``Rs.bmm`` gathers become index gathers
+  and the ``Rr^T.bmm`` scatter-add becomes a masked sum over K, so the whole
+  model is dense MXU matmuls + VPU reductions with no scatters
+- the batch dimension is ``vmap``'d (not hand-threaded), which is what lets
+  the MPPI planner fold thousands of rollouts into one XLA program
+
+Hyperparameters mirror ``src/config/dynamics/*.yaml`` ``model_config``.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.ops.graph import neighbor_gather, neighbor_aggregate
+
+
+@dataclasses.dataclass(frozen=True)
+class GNNConfig:
+    """Static model hyperparameters (reference: model.py:78-123 and
+    ``src/config/dynamics/rope.yaml:58-80``)."""
+
+    n_his: int = 4
+    max_nobj: int = 100
+    max_neef: int = 1
+
+    nf_particle: int = 150
+    nf_relation: int = 150
+    nf_effect: int = 150
+
+    attr_dim: int = 2
+    state_dim: int = 0  # 0: absolute positions are NOT node features (translation invariance)
+    offset_dim: int = 0
+    action_dim: int = 3
+    density_dim: int = 0
+
+    pstep: int = 3
+
+    rel_particle_dim: int = 0  # -1 means "same as particle input dim"
+    rel_attr_dim: int = 2
+    rel_group_dim: int = 1
+    rel_distance_dim: int = 3
+    rel_density_dim: int = 0
+
+    phys_dim: int = 1  # number of *used* physics params for the material
+    n_instance: int = 1
+    motion_clamp: float = 100.0
+
+    @property
+    def n_nodes(self):
+        return self.max_nobj + self.max_neef
+
+    @property
+    def particle_input_dim(self):
+        # reference: model.py:97-102
+        return (
+            self.n_his * self.state_dim
+            + self.n_his * self.offset_dim
+            + self.attr_dim
+            + self.action_dim
+            + self.density_dim
+            + self.phys_dim
+        )
+
+    @property
+    def rel_particle_dim_resolved(self):
+        return self.particle_input_dim if self.rel_particle_dim == -1 else self.rel_particle_dim
+
+    @property
+    def relation_input_dim(self):
+        # reference: model.py:110-114
+        return (
+            self.rel_particle_dim_resolved * 2
+            + self.rel_attr_dim * 2
+            + self.rel_group_dim
+            + self.rel_distance_dim * self.n_his
+            + self.rel_density_dim
+        )
+
+
+def model_config_from_yaml(config, material=None):
+    """Build a GNNConfig from a reference-style dynamics config dict
+    (reference: model.py:78-102 constructor logic)."""
+    mc = config["model_config"]
+    dc = config["dataset_config"]
+    matc = config["material_config"]
+    material = material or dc["materials"][0]
+    phys_dim = sum(1 for p in matc[material]["physics_params"] if p["use"])
+    ds = dc["datasets"][0]
+    return GNNConfig(
+        n_his=dc["n_his"],
+        max_nobj=ds["max_nobj"],
+        max_neef=dc["eef"]["max_neef"],
+        nf_particle=mc["nf_particle"],
+        nf_relation=mc["nf_relation"],
+        nf_effect=mc["nf_effect"],
+        attr_dim=mc["attr_dim"],
+        state_dim=mc["state_dim"],
+        offset_dim=mc["offset_dim"],
+        action_dim=mc["action_dim"],
+        density_dim=mc["density_dim"],
+        pstep=mc["pstep"],
+        rel_particle_dim=mc["rel_particle_dim"],
+        rel_attr_dim=mc["rel_attr_dim"],
+        rel_group_dim=mc["rel_group_dim"],
+        rel_distance_dim=mc["rel_distance_dim"],
+        rel_density_dim=mc["rel_density_dim"],
+        phys_dim=phys_dim,
+        n_instance=1,
+    )
+
+
+def _linear_init(key, n_in, n_out):
+    # torch nn.Linear default: U(-1/sqrt(n_in), 1/sqrt(n_in)) for both W and b,
+    # so training dynamics match the reference at init.
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(n_in)
+    return {
+        "w": jax.random.uniform(kw, (n_in, n_out), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(kb, (n_out,), minval=-bound, maxval=bound),
+    }
+
+
+def _mlp3_init(key, n_in, n_hidden, n_out):
+    k0, k1, k2 = jax.random.split(key, 3)
+    return [
+        _linear_init(k0, n_in, n_hidden),
+        _linear_init(k1, n_hidden, n_hidden),
+        _linear_init(k2, n_hidden, n_out),
+    ]
+
+
+def init_params(key, cfg: GNNConfig):
+    """Initialize the parameter pytree (layer sizes per model.py:104-123)."""
+    keys = jax.random.split(key, 5)
+    return {
+        # Encoder: 3 linear layers, ReLU after each (model.py:4-22)
+        "particle_encoder": _mlp3_init(keys[0], cfg.particle_input_dim, cfg.nf_particle, cfg.nf_effect),
+        "relation_encoder": _mlp3_init(keys[1], cfg.relation_input_dim, cfg.nf_relation, cfg.nf_effect),
+        # Propagators: single linear (+ residual) + ReLU (model.py:24-42)
+        "particle_propagator": _linear_init(keys[2], cfg.nf_effect * 2, cfg.nf_effect),
+        "relation_propagator": _linear_init(keys[3], cfg.nf_effect * 3, cfg.nf_effect),
+        # ParticlePredictor: 2 hidden ReLU layers + linear head (model.py:44-61)
+        "non_rigid_predictor": _mlp3_init(keys[4], cfg.nf_effect, cfg.nf_effect, 3),
+    }
+
+
+def count_params(params):
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _encoder(p, x):
+    # ReLU after every layer including the last (model.py:8-15)
+    x = jax.nn.relu(_linear(p[0], x))
+    x = jax.nn.relu(_linear(p[1], x))
+    return jax.nn.relu(_linear(p[2], x))
+
+
+def _predictor(p, x):
+    # ReLU on hidden layers only (model.py:54-61)
+    x = jax.nn.relu(_linear(p[0], x))
+    x = jax.nn.relu(_linear(p[1], x))
+    return _linear(p[2], x)
+
+
+def forward(params, graph, cfg: GNNConfig, compute_dtype=jnp.float32):
+    """Single-sample forward pass. Batch via ``forward_batch`` (vmap).
+
+    Args:
+      params: pytree from ``init_params``.
+      graph: dict with
+        state: (n_his, N, 3) particle history, N = max_nobj + max_neef
+        attrs: (N, attr_dim) object/eef one-hot
+        neighbors: (N, K) int32 sender indices
+        nbr_mask: (N, K) bool edge validity
+        p_instance: (max_nobj, n_instance) instance one-hot
+        action: (N, 3) per-particle state delta (eef rows nonzero)
+        physics_param: (phys_dim,) normalized scalar params, or
+          (max_nobj,) per-particle values when hetero (model.py:189-207)
+        particle_den: optional scalar (density_dim > 0)
+      cfg: static GNNConfig.
+
+    Returns:
+      pred_pos: (max_nobj, 3) next object positions (model.py:338)
+      pred_motion: (max_nobj, 3) unclamped motion
+    """
+    state = graph["state"].astype(compute_dtype)
+    attrs = graph["attrs"].astype(compute_dtype)
+    neighbors = graph["neighbors"]
+    nbr_mask = graph["nbr_mask"]
+    action = graph["action"].astype(compute_dtype)
+    p_instance = graph["p_instance"].astype(compute_dtype)
+
+    n_his = cfg.n_his
+    N = cfg.n_nodes
+    n_p = cfg.max_nobj
+    n_s = cfg.max_neef
+
+    # state residuals + current position, flattened per particle
+    # (model.py:156-166): (N, n_his*3) ordered [res_0, ..., res_{h-2}, cur]
+    state_res = state[1:] - state[:-1]  # (n_his-1, N, 3)
+    state_norm = jnp.concatenate([state_res, state[-1:]], axis=0)  # (n_his, N, 3)
+    state_norm_t = jnp.moveaxis(state_norm, 0, 1).reshape(N, n_his * 3)
+
+    # ---- particle (node) inputs (model.py:168-233) ----
+    parts = [attrs]
+    if cfg.state_dim > 0:
+        parts.append(state_norm_t)
+
+    phys = graph["physics_param"].astype(compute_dtype)
+    if phys.ndim == 1 and phys.shape[0] == cfg.phys_dim:
+        # scalar per material -> broadcast per object particle (model.py:191-197)
+        phys_p = jnp.broadcast_to(phys[None, :], (n_p, cfg.phys_dim))
+    else:
+        # already per-particle (model.py:200-204)
+        phys_p = phys.reshape(n_p, cfg.phys_dim)
+    phys_full = jnp.concatenate([phys_p, jnp.zeros((n_s, cfg.phys_dim), compute_dtype)], axis=0)
+    parts.append(phys_full)
+
+    if cfg.action_dim > 0:
+        parts.append(action)
+
+    if cfg.density_dim > 0:
+        den = graph["particle_den"].astype(compute_dtype).reshape(())
+        den_full = jnp.concatenate(
+            [jnp.full((n_p, 1), den, compute_dtype), jnp.zeros((n_s, 1), compute_dtype)], axis=0
+        )
+        parts.append(den_full)
+
+    p_inputs = jnp.concatenate(parts, axis=1)  # (N, particle_input_dim)
+
+    # ---- relation (edge) inputs (model.py:238-294) ----
+    # receiver features broadcast over K; sender features gathered
+    rel_parts = []
+    if cfg.rel_particle_dim_resolved > 0:
+        rel_parts.append(jnp.broadcast_to(p_inputs[:, None, :], (N, neighbors.shape[1], p_inputs.shape[1])))
+        rel_parts.append(neighbor_gather(p_inputs, neighbors))
+    if cfg.rel_attr_dim > 0:
+        rel_parts.append(jnp.broadcast_to(attrs[:, None, :], (N, neighbors.shape[1], attrs.shape[1])))
+        rel_parts.append(neighbor_gather(attrs, neighbors))
+    if cfg.rel_group_dim > 0:
+        # group one-hot diff (model.py:259-270)
+        g = jnp.concatenate([p_instance, jnp.zeros((n_s, cfg.n_instance), compute_dtype)], axis=0)
+        g_r = g[:, None, :]
+        g_s = neighbor_gather(g, neighbors)
+        rel_parts.append(jnp.sum(jnp.abs(g_r - g_s), axis=-1, keepdims=True))
+    if cfg.rel_distance_dim > 0:
+        # (model.py:272-282): receiver minus sender over the n_his residual/cur block
+        pos_r = state_norm_t[:, None, :]
+        pos_s = neighbor_gather(state_norm_t, neighbors)
+        rel_parts.append(pos_r - pos_s)
+    if cfg.rel_density_dim > 0:
+        d_r = den_full[:, None, :]
+        d_s = neighbor_gather(den_full, neighbors)
+        rel_parts.append(d_r - d_s)
+
+    rel_inputs = jnp.concatenate(rel_parts, axis=-1)  # (N, K, relation_input_dim)
+
+    # ---- encode (model.py:296-305) ----
+    particle_encode = _encoder(params["particle_encoder"], p_inputs)  # (N, nf)
+    relation_encode = _encoder(params["relation_encoder"], rel_inputs)  # (N, K, nf)
+
+    # ---- pstep message passing (model.py:307-332) ----
+    def mp_step(particle_effect, _):
+        eff_r = jnp.broadcast_to(
+            particle_effect[:, None, :], relation_encode.shape
+        )
+        eff_s = neighbor_gather(particle_effect, neighbors)
+        effect_rel = jax.nn.relu(
+            _linear(params["relation_propagator"], jnp.concatenate([relation_encode, eff_r, eff_s], axis=-1))
+        )
+        agg = neighbor_aggregate(effect_rel, nbr_mask)  # (N, nf)
+        particle_effect = jax.nn.relu(
+            _linear(params["particle_propagator"], jnp.concatenate([particle_encode, agg], axis=-1))
+            + particle_effect
+        )
+        return particle_effect, None
+
+    particle_effect, _ = jax.lax.scan(mp_step, particle_encode, None, length=cfg.pstep)
+
+    # ---- motion head (model.py:334-342) ----
+    motion = _predictor(params["non_rigid_predictor"], particle_effect[:n_p])
+    clamped = jnp.clip(motion, -cfg.motion_clamp, cfg.motion_clamp)
+    pred_pos = state[-1, :n_p] + clamped
+    return pred_pos.astype(jnp.float32), motion.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.float32):
+    """Batched forward: every graph field gains a leading batch axis."""
+    return jax.vmap(lambda g: forward(params, g, cfg, compute_dtype))(graphs)

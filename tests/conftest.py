@@ -1,15 +1,22 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
 multi-chip sharding (mesh/pjit/shard_map) is exercised without TPU hardware.
 
-Must run before the first ``import jax`` anywhere in the test session.
+The ambient environment pre-imports jax and registers the ``axon`` TPU
+backend via ``/root/.axon_site/sitecustomize.py`` (PYTHONPATH), which wins
+over the JAX_PLATFORMS env var — so the platform must be forced through
+``jax.config`` after import, and XLA_FLAGS must be set before the backend
+is first resolved.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
