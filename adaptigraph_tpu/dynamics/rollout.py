@@ -1,0 +1,208 @@
+"""Autoregressive rollout evaluation.
+
+Re-implements the reference rollout evaluator (reference:
+``src/dynamics/rollout/rollout.py:21-467`` and
+``src/dynamics/rollout/graph.py:342-687``) as one jitted ``lax.scan``:
+
+- host side: build the deterministic start graph (FPS with the midpoint
+  radius, fixed start index) and the *frame chain* — successive episode
+  frames spaced by eef displacement >= dist_thresh, which is what the
+  reference's ``get_next_pair_or_break_episode_pushes`` walks
+- device side: scan over the chain; each step rebuilds edges from the
+  current predicted state, runs the model, records mean particle L2 error
+  vs the FPS'd ground truth, and splices the prediction + next eef into the
+  history (reference: rollout.py:108-269)
+"""
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.models.gnn import GNNConfig, forward
+from adaptigraph_tpu.ops.graph import EdgeConfig, build_neighbor_graph
+from adaptigraph_tpu.ops.fps import fps_downsample
+
+
+def frame_chain(eef_kp, start, dist_thresh, max_steps):
+    """Frames spaced by >= dist_thresh eef displacement, starting at
+    ``start`` (reference: rollout/graph.py:672 next-pair search)."""
+    eef = eef_kp[:, 0]
+    chain = [start]
+    cur = eef[start]
+    for f in range(start + 1, len(eef)):
+        if np.linalg.norm(eef[f] - cur) >= dist_thresh:
+            chain.append(f)
+            cur = eef[f]
+        if len(chain) >= max_steps + 1:
+            break
+    return np.asarray(chain, np.int64)
+
+
+def build_start_state(spec, obj_pos, eef_pos, chain, rng=None):
+    """Deterministic start graph inputs (reference: rollout/graph.py:342-650
+    with midpoint radii). Returns (state_history, fps_idx, masks...)."""
+    n_his = spec.n_his
+    N = spec.n_nodes
+    fps_radius = float(np.mean(spec.fps_radius_range))
+    start = chain[0]
+    fps_idx = fps_downsample(obj_pos[start], spec.max_nobj, fps_radius, start_idx=0,
+                             rng=rng or np.random.RandomState(0))
+    n_obj = len(fps_idx)
+
+    state_history = np.zeros((n_his, N, 3), np.float32)
+    # history = the start frame repeated (the evaluator begins at a push start,
+    # mirroring construct_graph's history fill)
+    state_history[:, :n_obj] = obj_pos[start][fps_idx]
+    state_history[:, spec.max_nobj : spec.max_nobj + eef_pos.shape[1]] = eef_pos[start]
+
+    state_mask = np.zeros(N, bool)
+    state_mask[:n_obj] = True
+    state_mask[spec.max_nobj : spec.max_nobj + eef_pos.shape[1]] = True
+    eef_mask = np.zeros(N, bool)
+    eef_mask[spec.max_nobj : spec.max_nobj + eef_pos.shape[1]] = True
+    return state_history, fps_idx, state_mask, eef_mask, n_obj
+
+
+@functools.partial(jax.jit, static_argnames=("gnn_cfg", "edge_cfg"))
+def rollout_scan(
+    params,
+    state_history,
+    eef_seq,
+    gt_seq,
+    state_mask,
+    eef_mask,
+    attrs,
+    p_instance,
+    physics_param,
+    obj_count,
+    adj_thresh,
+    gnn_cfg: GNNConfig,
+    edge_cfg: EdgeConfig,
+):
+    """Jitted rollout over a frame chain.
+
+    Args:
+      state_history: (n_his, N, 3) initial history.
+      eef_seq: (T, max_neef, 3) eef keypoints at chain frames 1..T.
+      gt_seq: (T, max_nobj, 3) FPS'd ground-truth object positions at chain
+        frames 1..T.
+      obj_count: scalar number of valid object particles.
+
+    Returns:
+      errors: (T,) mean particle L2 error per step (rollout.py:147).
+      preds: (T, max_nobj, 3) predicted positions.
+    """
+    max_nobj = gnn_cfg.max_nobj
+    n_eef = gnn_cfg.max_neef
+
+    def step(carry, inp):
+        hist = carry
+        eef_next, gt = inp
+        # action: eef delta into the next chain frame (rollout state splice)
+        action = jnp.zeros_like(hist[0]).at[max_nobj : max_nobj + n_eef].set(
+            eef_next - hist[-1, max_nobj : max_nobj + n_eef]
+        )
+        nbrs, mask = build_neighbor_graph(hist[-1], state_mask, eef_mask, adj_thresh, edge_cfg)
+        graph = {
+            "state": hist,
+            "attrs": attrs,
+            "neighbors": nbrs,
+            "nbr_mask": mask,
+            "action": action,
+            "p_instance": p_instance,
+            "physics_param": physics_param,
+        }
+        pred_pos, _ = forward(params, graph, gnn_cfg)
+        # mean particle L2 over valid objects (rollout.py:147)
+        err = jnp.linalg.norm(pred_pos - gt, axis=-1)
+        obj_valid = jnp.arange(max_nobj) < obj_count
+        err = jnp.sum(jnp.where(obj_valid, err, 0.0)) / jnp.maximum(obj_count, 1)
+
+        next_state = hist[-1].at[:max_nobj].set(pred_pos).at[max_nobj : max_nobj + n_eef].set(eef_next)
+        new_hist = jnp.concatenate([hist[1:], next_state[None]], axis=0)
+        return new_hist, (err, pred_pos)
+
+    _, (errors, preds) = jax.lax.scan(step, state_history, (eef_seq, gt_seq))
+    return errors, preds
+
+
+def rollout_episode(params, spec, gnn_cfg, edge_cfg, obj_pos, eef_pos, physics_param,
+                    start=0, dist_thresh=0.1, max_steps=100):
+    """Evaluate one episode push: returns (errors (T,), preds, chain)."""
+    chain = frame_chain(eef_pos, start, dist_thresh, max_steps)
+    if len(chain) < 2:
+        return np.zeros(0), np.zeros((0, spec.max_nobj, 3)), chain
+    hist, fps_idx, state_mask, eef_mask, n_obj = build_start_state(spec, obj_pos, eef_pos, chain)
+
+    T = len(chain) - 1
+    gt_seq = np.zeros((T, spec.max_nobj, 3), np.float32)
+    for t, f in enumerate(chain[1:]):
+        gt_seq[t, :n_obj] = obj_pos[f][fps_idx]
+    eef_seq = eef_pos[chain[1:]].astype(np.float32)
+
+    N = spec.n_nodes
+    attrs = np.zeros((N, 2), np.float32)
+    attrs[:n_obj, 0] = 1.0
+    attrs[spec.max_nobj : spec.max_nobj + eef_pos.shape[1], 1] = 1.0
+    p_instance = np.zeros((spec.max_nobj, 1), np.float32)
+    p_instance[:n_obj, 0] = 1.0
+
+    adj_thresh = float(np.mean(spec.adj_radius_range))
+    errors, preds = rollout_scan(
+        params,
+        jnp.asarray(hist),
+        jnp.asarray(eef_seq),
+        jnp.asarray(gt_seq),
+        jnp.asarray(state_mask),
+        jnp.asarray(eef_mask),
+        jnp.asarray(attrs),
+        jnp.asarray(p_instance),
+        jnp.asarray(np.asarray(physics_param, np.float32)),
+        jnp.asarray(n_obj),
+        jnp.asarray(adj_thresh),
+        gnn_cfg,
+        edge_cfg,
+    )
+    return np.asarray(errors), np.asarray(preds), chain
+
+
+def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98, 1.0),
+                    dist_thresh=0.1, max_steps=100, out_dir=None):
+    """Evaluate all validation episodes; per-push error curves + aggregate
+    median/IQR (reference: rollout.py:373-467). Returns dict of stats."""
+    import os
+
+    from adaptigraph_tpu.dynamics.dataset import DynDataset
+
+    ds = DynDataset(prep_dir, spec, phase="valid",
+                    ratio={"train": [0, phase_ratio[0]], "valid": list(phase_ratio)})
+    all_errors = []
+    for ei in range(len(ds.epi_files)):
+        epi = ds._episode(ei)
+        errors, _, _ = rollout_episode(
+            params, spec, gnn_cfg, edge_cfg, epi["obj_pos"], epi["eef_pos"],
+            ds.physics_norm[ei], start=0, dist_thresh=dist_thresh, max_steps=max_steps,
+        )
+        if len(errors):
+            all_errors.append(errors)
+    if not all_errors:
+        return {"median": np.zeros(0), "q25": np.zeros(0), "q75": np.zeros(0)}
+    L = max(len(e) for e in all_errors)
+    padded = np.full((len(all_errors), L), np.nan)
+    for i, e in enumerate(all_errors):
+        padded[i, : len(e)] = e
+    stats = {
+        "median": np.nanmedian(padded, axis=0),
+        "q25": np.nanpercentile(padded, 25, axis=0),
+        "q75": np.nanpercentile(padded, 75, axis=0),
+        "per_push": all_errors,
+    }
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(os.path.join(out_dir, "rollout_errors.npz"),
+                 median=stats["median"], q25=stats["q25"], q75=stats["q75"])
+    return stats

@@ -1,0 +1,255 @@
+"""Jitted multi-step training for the GNN dynamics model.
+
+Semantics of the reference trainer (reference:
+``src/dynamics/train/train.py:20-161``): Adam lr 1e-3, multi-step rollout
+loss over ``n_future`` autoregressive predictions with eef-splice between
+steps, train + valid phases, epoch checkpoints and loss curves — redesigned
+TPU-first:
+
+- ONE jitted train step contains augmentation (noise/rotation), batched edge
+  construction, the ``n_future`` prediction loop as ``lax.scan``, the loss,
+  and the optimizer update. The reference does edges per-sample on CPU
+  workers and the n_future loop in Python.
+- Data parallelism: batches sharded over a 1-D device mesh; XLA inserts the
+  gradient psum (the reference is single-GPU, SURVEY.md §2.8).
+"""
+
+import dataclasses
+import functools
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adaptigraph_tpu.models.gnn import GNNConfig, init_params, forward
+from adaptigraph_tpu.ops.graph import EdgeConfig, build_neighbor_graph
+from adaptigraph_tpu.utils import checkpoint as ckpt
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHyper:
+    """Training hyperparameters (reference: train_config in config yamls +
+    randomness section of dataset_config)."""
+
+    n_future: int
+    batch_size: int = 128
+    n_epochs: int = 100
+    n_iters_train: int = 1000
+    n_iters_valid: int = 100
+    lr: float = 1e-3
+    use_augmentation: bool = True
+    state_noise_train: float = 0.05
+    state_noise_valid: float = 0.0
+    phys_noise_train: float = 0.0
+    phys_noise_valid: float = 0.0
+    store_rest_state: bool = False
+    seed: int = 42
+
+
+def _augment(batch, key, state_noise, phys_noise, use_rotation):
+    """On-device data augmentation (reference: dataset.py:260-285):
+    uniform state noise on the history, a shared random rotation
+    in the xy plane applied to all geometric fields, physics-param noise."""
+    kn, kr, kp = jax.random.split(key, 3)
+    state = batch["state"]
+    B = state.shape[0]
+
+    state = state + jax.random.uniform(kn, state.shape, minval=-state_noise, maxval=state_noise)
+
+    if use_rotation:
+        theta = jax.random.uniform(kr, (B,), minval=-np.pi, maxval=np.pi)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        zeros = jnp.zeros_like(c)
+        ones = jnp.ones_like(c)
+        # reference rot_mat (dataset.py:278-281), applied by right-multiplication
+        rot = jnp.stack(
+            [
+                jnp.stack([c, -s, zeros], -1),
+                jnp.stack([s, c, zeros], -1),
+                jnp.stack([zeros, zeros, ones], -1),
+            ],
+            axis=-2,
+        )  # (B, 3, 3)
+
+        def rmul(x):
+            return jnp.einsum("b...i,bij->b...j", x, rot)
+
+        state = rmul(state)
+        batch = dict(
+            batch,
+            action=rmul(batch["action"]),
+            eef_future=rmul(batch["eef_future"]),
+            action_future=rmul(batch["action_future"]),
+            state_future=rmul(batch["state_future"]),
+        )
+
+    phys = batch["physics_param"]
+    phys = phys + jax.random.uniform(kp, phys.shape, minval=-phys_noise, maxval=phys_noise)
+    return dict(batch, state=state, physics_param=phys)
+
+
+def _splice_history(state_hist, next_state, store_rest_state):
+    """History update between autoregressive steps
+    (reference: train.py:104-120)."""
+    if store_rest_state:
+        # keep the rest frame 0, drop frame 1
+        return jnp.concatenate([state_hist[:, :1], state_hist[:, 2:], next_state[:, None]], axis=1)
+    return jnp.concatenate([state_hist[:, 1:], next_state[:, None]], axis=1)
+
+
+def multi_step_loss(params, batch, gnn_cfg: GNNConfig, edge_cfg: EdgeConfig, n_future, store_rest_state):
+    """Sum of per-step MSE over ``n_future`` autoregressive predictions
+    (reference: train.py:94-124). Edges are built once from the current
+    (possibly augmented) state and reused, matching the reference."""
+    state = batch["state"]
+
+    build = jax.vmap(
+        lambda s, nm, tm, r, k: build_neighbor_graph(s, nm, tm, r, edge_cfg, k)
+    )
+    nbrs, nbr_mask = build(
+        state[:, -1], batch["state_mask"], batch["eef_mask"], batch["adj_thresh"], batch["knn_frac"]
+    )
+
+    fwd = jax.vmap(lambda g: forward(params, g, gnn_cfg))
+
+    max_nobj = gnn_cfg.max_nobj
+
+    def body(carry, fi):
+        state_hist, action = carry
+        graph = {
+            "state": state_hist,
+            "attrs": batch["attrs"],
+            "neighbors": nbrs,
+            "nbr_mask": nbr_mask,
+            "action": action,
+            "p_instance": batch["p_instance"],
+            "physics_param": batch["physics_param"],
+        }
+        pred_pos, _ = fwd(graph)  # (B, max_nobj, 3)
+        gt = jax.lax.dynamic_index_in_dim(batch["state_future"], fi, axis=1, keepdims=False)
+        loss_fi = jnp.mean((pred_pos - gt) ** 2)
+
+        fi_c = jnp.minimum(fi, n_future - 2) if n_future > 1 else fi * 0
+        next_eef = jax.lax.dynamic_index_in_dim(batch["eef_future"], fi_c, axis=1, keepdims=False)
+        next_action = jax.lax.dynamic_index_in_dim(batch["action_future"], fi_c, axis=1, keepdims=False)
+        next_state = next_eef.at[:, :max_nobj].set(pred_pos)
+        new_hist = _splice_history(state_hist, next_state, store_rest_state)
+        return (new_hist, next_action), loss_fi
+
+    (_, _), losses = jax.lax.scan(body, (state, batch["action"]), jnp.arange(n_future))
+    return jnp.sum(losses)
+
+
+def make_train_step(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            b = _augment(
+                batch, key, hyper.state_noise_train, hyper.phys_noise_train, hyper.use_augmentation
+            ) if hyper.use_augmentation else batch
+            return multi_step_loss(p, b, gnn_cfg, edge_cfg, hyper.n_future, hyper.store_rest_state)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(gnn_cfg, edge_cfg, hyper: TrainHyper):
+    @jax.jit
+    def eval_step(params, batch, key):
+        b = _augment(batch, key, hyper.state_noise_valid, hyper.phys_noise_valid,
+                     hyper.use_augmentation) if hyper.use_augmentation else batch
+        return multi_step_loss(params, b, gnn_cfg, edge_cfg, hyper.n_future, hyper.store_rest_state)
+
+    return eval_step
+
+
+def train(
+    gnn_cfg: GNNConfig,
+    edge_cfg: EdgeConfig,
+    hyper: TrainHyper,
+    train_loader,
+    valid_loader,
+    out_dir,
+    mesh=None,
+    log_every=50,
+    params=None,
+):
+    """Full training loop (reference: train.py:68-161).
+
+    ``train_loader``/``valid_loader`` yield numpy batch dicts
+    (``adaptigraph_tpu.dynamics.dataset.BatchLoader``). When ``mesh`` is
+    given, batches are sharded over its "data" axis.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(hyper.seed)
+    if params is None:
+        key, k0 = jax.random.split(key)
+        params = init_params(k0, gnn_cfg)
+    optimizer = optax.adam(hyper.lr)
+    opt_state = optimizer.init(params)
+
+    train_step = make_train_step(gnn_cfg, edge_cfg, hyper, optimizer)
+    eval_step = make_eval_step(gnn_cfg, edge_cfg, hyper)
+
+    if mesh is not None:
+        from adaptigraph_tpu.parallel.mesh import shard_batch, replicate
+
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    curves = {"train": [], "valid": []}
+    for epoch in range(hyper.n_epochs):
+        t0 = time.time()
+        losses = []
+        for it in range(hyper.n_iters_train):
+            batch = next(train_loader)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            key, k = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, batch, k)
+            if it % log_every == 0:
+                losses.append(float(loss))
+        curves["train"].append(float(np.mean(losses)))
+
+        vlosses = []
+        for it in range(hyper.n_iters_valid):
+            batch = next(valid_loader)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            key, k = jax.random.split(key)
+            vlosses.append(float(eval_step(params, batch, k)))
+        curves["valid"].append(float(np.mean(vlosses)))
+
+        ckpt.save_checkpoint(out_dir, epoch, params, opt_state)
+        np.savez(os.path.join(out_dir, "loss_curves.npz"), **{k: np.asarray(v) for k, v in curves.items()})
+        _plot_curves(curves, out_dir)
+        print(
+            f"epoch {epoch}: train {curves['train'][-1]:.6f} valid {curves['valid'][-1]:.6f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+    return params, curves
+
+
+def _plot_curves(curves, out_dir):
+    """Loss-curve PNG (reference: train.py:144-157); optional dependency."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    plt.figure(figsize=(10, 4))
+    plt.plot(curves["train"], label="train")
+    plt.plot(curves["valid"], label="valid")
+    plt.legend()
+    plt.savefig(os.path.join(out_dir, "loss.png"), dpi=150)
+    plt.close()

@@ -60,6 +60,11 @@ class EdgeConfig:
     fixed_bottom_frac: float = 0.1
     # plane scaling for the surface policy (reference: dataset.py:205-209).
     surface_ratio: float = 1.0
+    # pad the slot axis K up to a multiple of this. TPU tiles the two minor
+    # dims of every (..., K, F) edge tensor to (8, 128) f32 / (16, 128) bf16;
+    # an unaligned K (e.g. 11) silently costs ~1.5-2.4x memory traffic in the
+    # message-passing loop. Extra slots are masked and cost nothing real.
+    k_multiple: int = 8
 
     @property
     def n_nodes(self):
@@ -67,7 +72,9 @@ class EdgeConfig:
 
     @property
     def K(self):
-        return self.topk + self.max_neef
+        k = self.topk + self.max_neef
+        m = self.k_multiple
+        return ((k + m - 1) // m) * m
 
 
 def _pairwise_sq_dists(states):
@@ -246,6 +253,10 @@ def build_neighbor_graph(
 
     neighbors = jnp.concatenate([topk_idx, tool_slot_idx], axis=1).astype(jnp.int32)
     mask = jnp.concatenate([final_topk_mask, tool_slot_mask], axis=1)
+    pad = cfg.K - neighbors.shape[1]
+    if pad > 0:  # tile-align the slot axis (see k_multiple)
+        neighbors = jnp.concatenate([neighbors, jnp.zeros((N, pad), jnp.int32)], axis=1)
+        mask = jnp.concatenate([mask, jnp.zeros((N, pad), bool)], axis=1)
     return neighbors, mask
 
 

@@ -1,0 +1,1 @@
+from adaptigraph_tpu.parallel.mesh import make_mesh, shard_batch, replicate

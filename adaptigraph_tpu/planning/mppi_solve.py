@@ -1,0 +1,141 @@
+"""Fused MPPI solve: the framework's headline hot path.
+
+The reference splits one 20000-sample rope solve into 40 sequential GPU
+chunks driven from Python (reference: ``src/planning/plan.py:177-182,241-247``
+with ``n_sample_chunk=500``), paying a host sync + edge rebuild per substep
+per chunk. Here one solve iteration is ONE jitted program:
+
+  sample actions -> reshape (n_chunks, chunk, L, 4) -> lax.map over chunks of
+  {vmap'd scan rollout + reward} -> softmax MPPI update + best tracking
+
+``lax.map`` keeps peak memory at chunk granularity (the per-substep edge/
+effect tensors are the working set) while the whole budget stays on-device.
+Across multiple chips the sample axis is sharded with ``shard_map``; the
+reward vector (n_sample floats) is all-gathered, so the softmax update and
+argmax see the global budget (SURVEY.md §2.8 sample-parallel row).
+"""
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from adaptigraph_tpu.planning.actions import (
+    clip_actions,
+    optimize_action_mppi,
+    sample_action_seq,
+)
+from adaptigraph_tpu.planning.forward import DynamicsConfig, dynamics_rollout
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIConfig:
+    """Solve budget (reference: config/planning/*.yaml task_config)."""
+
+    n_sample: int = 20000
+    n_sample_chunk: int = 2000
+    n_look_ahead: int = 1
+    n_update_iter: int = 1
+    reward_weight: float = 500.0
+    noise_level: float = 1.0
+    push_length: float = 0.1
+
+
+def make_mppi_solver(
+    dcfg: DynamicsConfig,
+    mcfg: MPPIConfig,
+    reward_fn: Callable,  # (state_seqs, act_seqs, state_cur) -> (n_sample,) rewards
+    lower,
+    upper,
+    mesh=None,
+    axis="data",
+):
+    """Build a jitted MPPI solve-iteration.
+
+    Returns ``solve(params, state_cur, act_seq, key, physics_param)`` running
+    ``n_update_iter`` fused iterations and the final best-sequence re-rollout
+    (reference: planner.py:234-277 + plan.py chunk merge collapsed into one
+    on-device argmax over the full sample budget).
+    """
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+    n_chunks = mcfg.n_sample // mcfg.n_sample_chunk
+    assert n_chunks * mcfg.n_sample_chunk == mcfg.n_sample
+
+    def chunk_rewards(params, state_cur, act_chunk, physics_param):
+        out = dynamics_rollout(params, state_cur, act_chunk, physics_param, dcfg)
+        r = reward_fn(out["state_seqs"], act_chunk, state_cur)
+        return r, out["state_seqs"][:, -1]
+
+    def all_rewards(params, state_cur, act_seqs, physics_param):
+        """(n_sample, L, 4) -> rewards (n_sample,), finals (n_sample, nobj, 3)."""
+        chunks = act_seqs.reshape(n_chunks, mcfg.n_sample_chunk, mcfg.n_look_ahead, 4)
+        r, f = jax.lax.map(lambda a: chunk_rewards(params, state_cur, a, physics_param), chunks)
+        return r.reshape(mcfg.n_sample), f.reshape(mcfg.n_sample, *f.shape[2:])
+
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        assert n_chunks % n_dev == 0, (n_chunks, n_dev)
+        local_chunks = n_chunks // n_dev
+
+        def sharded_rewards(params, state_cur, act_seqs, physics_param):
+            def body(p, s, a, ph):
+                chunks = a.reshape(local_chunks, mcfg.n_sample_chunk, mcfg.n_look_ahead, 4)
+                r, f = jax.lax.map(lambda c: chunk_rewards(p, s, c, ph), chunks)
+                return (
+                    r.reshape(local_chunks * mcfg.n_sample_chunk),
+                    f.reshape(local_chunks * mcfg.n_sample_chunk, *f.shape[2:]),
+                )
+
+            return jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis), P()),
+                out_specs=(P(axis), P(axis)),
+            )(params, state_cur, act_seqs, physics_param)
+
+        rewards_fn = sharded_rewards
+    else:
+        rewards_fn = all_rewards
+
+    @functools.partial(jax.jit, static_argnames=("iter_index",))
+    def solve_iter(params, state_cur, act_seq, key, physics_param, iter_index):
+        act_seqs = sample_action_seq(
+            key, act_seq, lower, upper, mcfg.n_sample,
+            iter_index=iter_index, noise_level=mcfg.noise_level,
+            push_length=mcfg.push_length,
+        )
+        rewards, finals = rewards_fn(params, state_cur, act_seqs, physics_param)
+        new_seq = optimize_action_mppi(
+            act_seqs, rewards, mcfg.reward_weight, lower, upper, mcfg.push_length
+        )
+        best = jnp.argmax(rewards)
+        return new_seq, act_seqs[best], rewards[best], finals[best]
+
+    def solve(params, state_cur, act_seq, key, physics_param):
+        """Host loop over fused iterations; tracks the best sampled sequence
+        across iterations (planner.py:253-266)."""
+        best_seq, best_reward, best_final = None, -np.inf, None
+        for i in range(mcfg.n_update_iter):
+            key, k = jax.random.split(key)
+            # iter_index is static: only 0 vs nonzero changes the program
+            act_seq, it_seq, it_reward, it_final = solve_iter(
+                params, state_cur, act_seq, k, physics_param, min(i, 1)
+            )
+            it_reward = float(it_reward)
+            if best_seq is None or it_reward > best_reward:
+                best_seq, best_reward = it_seq, it_reward
+                best_final = it_final
+        return {
+            "act_seq": best_seq,
+            "mppi_seq": act_seq,
+            "best_reward": best_reward,
+            "best_final_state": best_final,
+        }
+
+    return solve

@@ -1,0 +1,428 @@
+#include "xpbd.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <random>
+
+namespace xpbd {
+
+static inline Vec3 sub(Vec3 a, Vec3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline Vec3 add(Vec3 a, Vec3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline Vec3 mul(Vec3 a, float s) { return {a.x * s, a.y * s, a.z * s}; }
+static inline float dot(Vec3 a, Vec3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+static inline float norm(Vec3 a) { return std::sqrt(dot(a, a)); }
+
+void Sim::add_particle(Vec3 p, float im) {
+  pos.push_back(p);
+  prev.push_back(p);
+  vel.push_back({0, 0, 0});
+  inv_mass.push_back(im);
+}
+
+void Sim::add_distance(int i, int j, float compliance) {
+  DistanceConstraint c;
+  c.i = i;
+  c.j = j;
+  c.rest = norm(sub(pos[i], pos[j]));
+  c.compliance = compliance;
+  constraints.push_back(c);
+}
+
+void Sim::build_hash(float cell) {
+  const int N = n();
+  hash_heads_.assign(4096, -1);
+  hash_next_.assign(N, -1);
+  for (int i = 0; i < N; ++i) {
+    int cx = (int)std::floor(pos[i].x / cell);
+    int cy = (int)std::floor(pos[i].y / cell);
+    int cz = (int)std::floor(pos[i].z / cell);
+    uint32_t h = ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
+                  (uint32_t)(cz * 283923481)) %
+                 4096u;
+    hash_next_[i] = hash_heads_[h];
+    hash_heads_[h] = i;
+  }
+}
+
+void Sim::solve_contacts() {
+  const int N = n();
+  const float r = params.particle_radius * params.contact_radius_scale;
+  const float cell = r;
+  build_hash(cell);
+  for (int i = 0; i < N; ++i) {
+    if (inv_mass[i] == 0) continue;
+    int cx0 = (int)std::floor((pos[i].x - r) / cell);
+    int cx1 = (int)std::floor((pos[i].x + r) / cell);
+    int cy0 = (int)std::floor((pos[i].y - r) / cell);
+    int cy1 = (int)std::floor((pos[i].y + r) / cell);
+    int cz0 = (int)std::floor((pos[i].z - r) / cell);
+    int cz1 = (int)std::floor((pos[i].z + r) / cell);
+    for (int cx = cx0; cx <= cx1; ++cx)
+      for (int cy = cy0; cy <= cy1; ++cy)
+        for (int cz = cz0; cz <= cz1; ++cz) {
+          uint32_t h = ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
+                        (uint32_t)(cz * 283923481)) %
+                       4096u;
+          for (int j = hash_heads_[h]; j >= 0; j = hash_next_[j]) {
+            if (j <= i) continue;
+            Vec3 d = sub(pos[i], pos[j]);
+            float dist = norm(d);
+            if (dist < 1e-9f || dist >= r) continue;
+            float w = inv_mass[i] + inv_mass[j];
+            if (w == 0) continue;
+            Vec3 corr = mul(d, (r - dist) / dist / w);
+            pos[i] = add(pos[i], mul(corr, inv_mass[i]));
+            pos[j] = sub(pos[j], mul(corr, inv_mass[j]));
+          }
+        }
+  }
+}
+
+void Sim::solve_constraints(float h) {
+  const float h2 = h * h;
+  for (auto& c : constraints) {
+    float w = inv_mass[c.i] + inv_mass[c.j];
+    if (w == 0) continue;
+    Vec3 d = sub(pos[c.i], pos[c.j]);
+    float dist = norm(d);
+    if (dist < 1e-9f) continue;
+    float alpha = c.compliance / h2;
+    float dl = (-(dist - c.rest) - alpha * c.lambda) / (w + alpha);
+    c.lambda += dl;
+    Vec3 corr = mul(d, dl / dist);
+    pos[c.i] = add(pos[c.i], mul(corr, inv_mass[c.i]));
+    pos[c.j] = sub(pos[c.j], mul(corr, inv_mass[c.j]));
+  }
+}
+
+void Sim::solve_ground(float h) {
+  const int N = n();
+  const float r = params.particle_radius;
+#pragma omp parallel for
+  for (int i = 0; i < N; ++i) {
+    if (inv_mass[i] == 0) continue;
+    float pen = params.ground_y + r - pos[i].y;
+    if (pen > 0) {
+      pos[i].y = params.ground_y + r;
+      // Coulomb-ish friction: damp tangential motion proportional to the
+      // normal correction (PBD-style, cf. FleX dynamic friction semantics)
+      Vec3 dp = sub(pos[i], prev[i]);
+      float tangential = std::sqrt(dp.x * dp.x + dp.z * dp.z);
+      if (tangential > 1e-9f) {
+        float drop = std::min(tangential, params.dynamic_friction * pen);
+        float s = 1.0f - drop / tangential;
+        pos[i].x = prev[i].x + dp.x * s;
+        pos[i].z = prev[i].z + dp.z * s;
+      }
+    }
+  }
+}
+
+void Sim::solve_clusters() {
+  for (auto& cl : clusters) {
+    // best-fit translation + rotation (polar decomposition via iteration)
+    const int m = (int)cl.indices.size();
+    if (m == 0) continue;
+    Vec3 com{0, 0, 0};
+    int mobile = 0;
+    for (int k = 0; k < m; ++k) {
+      com = add(com, pos[cl.indices[k]]);
+      ++mobile;
+    }
+    com = mul(com, 1.0f / mobile);
+    // covariance A = sum p_i' * q_i^T (q = rest offset)
+    float A[9] = {0};
+    for (int k = 0; k < m; ++k) {
+      Vec3 p = sub(pos[cl.indices[k]], com);
+      Vec3 q = cl.rest[k];
+      A[0] += p.x * q.x; A[1] += p.x * q.y; A[2] += p.x * q.z;
+      A[3] += p.y * q.x; A[4] += p.y * q.y; A[5] += p.y * q.z;
+      A[6] += p.z * q.x; A[7] += p.z * q.y; A[8] += p.z * q.z;
+    }
+    // extract rotation: iterative polar decomposition (Mueller et al. 2016)
+    float R[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+    for (int it = 0; it < 12; ++it) {
+      // omega = (sum r_c x a_c) / |sum r_c . a_c|, columns r_c of R, a_c of A
+      Vec3 rc0{R[0], R[3], R[6]}, rc1{R[1], R[4], R[7]}, rc2{R[2], R[5], R[8]};
+      Vec3 ac0{A[0], A[3], A[6]}, ac1{A[1], A[4], A[7]}, ac2{A[2], A[5], A[8]};
+      Vec3 cr0 = {rc0.y * ac0.z - rc0.z * ac0.y, rc0.z * ac0.x - rc0.x * ac0.z, rc0.x * ac0.y - rc0.y * ac0.x};
+      Vec3 cr1 = {rc1.y * ac1.z - rc1.z * ac1.y, rc1.z * ac1.x - rc1.x * ac1.z, rc1.x * ac1.y - rc1.y * ac1.x};
+      Vec3 cr2 = {rc2.y * ac2.z - rc2.z * ac2.y, rc2.z * ac2.x - rc2.x * ac2.z, rc2.x * ac2.y - rc2.y * ac2.x};
+      Vec3 omega = add(add(cr0, cr1), cr2);
+      float denom = std::fabs(dot(rc0, ac0) + dot(rc1, ac1) + dot(rc2, ac2)) + 1e-9f;
+      omega = mul(omega, 1.0f / denom);
+      float w = norm(omega);
+      if (w < 1e-7f) break;
+      // rotate R by axis-angle omega
+      Vec3 axis = mul(omega, 1.0f / w);
+      float cs = std::cos(w), sn = std::sin(w);
+      float x = axis.x, y = axis.y, z = axis.z, t = 1 - cs;
+      float Rot[9] = {cs + x * x * t, x * y * t - z * sn, x * z * t + y * sn,
+                      y * x * t + z * sn, cs + y * y * t, y * z * t - x * sn,
+                      z * x * t - y * sn, z * y * t + x * sn, cs + z * z * t};
+      float Rn[9];
+      for (int r_ = 0; r_ < 3; ++r_)
+        for (int c_ = 0; c_ < 3; ++c_)
+          Rn[r_ * 3 + c_] = Rot[r_ * 3] * R[c_] + Rot[r_ * 3 + 1] * R[3 + c_] + Rot[r_ * 3 + 2] * R[6 + c_];
+      std::memcpy(R, Rn, sizeof(Rn));
+    }
+    for (int k = 0; k < m; ++k) {
+      int i = cl.indices[k];
+      if (inv_mass[i] == 0) continue;
+      Vec3 q = cl.rest[k];
+      Vec3 goal = {R[0] * q.x + R[1] * q.y + R[2] * q.z + com.x,
+                   R[3] * q.x + R[4] * q.y + R[5] * q.z + com.y,
+                   R[6] * q.x + R[7] * q.y + R[8] * q.z + com.z};
+      Vec3 corr = mul(sub(goal, pos[i]), cl.stiffness);
+      pos[i] = add(pos[i], corr);
+    }
+  }
+}
+
+void Sim::collide_tool() {
+  const int N = n();
+  const float r = params.tool_radius + params.particle_radius;
+  for (const auto& t : tool_pos) {
+#pragma omp parallel for
+    for (int i = 0; i < N; ++i) {
+      if (inv_mass[i] == 0) continue;
+      Vec3 d = sub(pos[i], t);
+      float dist = norm(d);
+      if (dist < r && dist > 1e-9f) {
+        pos[i] = add(t, mul(d, r / dist));
+      }
+    }
+  }
+}
+
+void Sim::step(const Vec3* tool_target, int n_tool) {
+  const float h = params.dt / params.substeps;
+  const int N = n();
+  // tool moves linearly across the frame
+  std::vector<Vec3> tool_start = tool_pos;
+  for (int s = 0; s < params.substeps; ++s) {
+    float tfrac = (s + 1.0f) / params.substeps;
+    for (int k = 0; k < n_tool && k < (int)tool_pos.size(); ++k) {
+      tool_pos[k] = add(tool_start[k], mul(sub(tool_target[k], tool_start[k]), tfrac));
+    }
+    // integrate
+    float damp = std::max(0.0f, 1.0f - params.damping * h);
+#pragma omp parallel for
+    for (int i = 0; i < N; ++i) {
+      prev[i] = pos[i];
+      if (inv_mass[i] == 0) continue;
+      vel[i].y += params.gravity * h;
+      vel[i] = mul(vel[i], damp);
+      pos[i] = add(pos[i], mul(vel[i], h));
+    }
+    for (auto& c : constraints) c.lambda = 0;
+    for (int it = 0; it < params.iterations; ++it) {
+      solve_constraints(h);
+      solve_clusters();
+      if (self_collision) solve_contacts();
+      collide_tool();
+      solve_ground(h);
+    }
+    // velocity update
+#pragma omp parallel for
+    for (int i = 0; i < N; ++i) {
+      if (inv_mass[i] == 0) continue;
+      vel[i] = mul(sub(pos[i], prev[i]), 1.0f / h);
+    }
+  }
+}
+
+// ---------------- scenes ----------------
+// Parameter arrays are documented in adaptigraph_tpu/sim/scenes.py; each
+// builder mirrors the corresponding FleX scene's physics-relevant structure
+// (reference: PyFleX/bindings/scenes/*.h + src/sim/sim_env/scenes.py).
+
+Sim* make_rope(const float* p, int np_, uint64_t seed) {
+  // p = [n_particles, length, thickness(unused), stiffness, friction, x, z, theta]
+  int n = (int)p[0];
+  float length = p[1];
+  float stiffness = p[3];
+  float friction = p[4];
+  float x0 = p[5], z0 = p[6], theta = p[7];
+  auto* s = new Sim();
+  s->params.dynamic_friction = friction;
+  s->params.particle_radius = 0.03f;
+  float spacing = length / (n - 1);
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<float> U(-0.02f, 0.02f);
+  for (int i = 0; i < n; ++i) {
+    float t = (i - (n - 1) * 0.5f) * spacing;
+    Vec3 pt{x0 + t * std::cos(theta) + U(rng), s->params.particle_radius + 0.001f,
+            z0 + t * std::sin(theta) + U(rng)};
+    s->add_particle(pt, 1.0f);
+  }
+  // stretch: near-rigid; bend (i, i+2): compliance falls with stiffness
+  for (int i = 0; i + 1 < n; ++i) s->add_distance(i, i + 1, 1e-7f);
+  float bend_compliance = 0.002f * std::pow(10.0f, -3.0f * stiffness);
+  for (int i = 0; i + 2 < n; ++i) s->add_distance(i, i + 2, bend_compliance);
+  // long-range stiffening for high stiffness (mirrors cluster-spacing growth,
+  // reference: src/sim/sim_env/scenes.py:24-31)
+  if (stiffness > 0.5f) {
+    for (int i = 0; i + 4 < n; i += 2) s->add_distance(i, i + 4, bend_compliance * 4.0f);
+  }
+  return s;
+}
+
+Sim* make_granular(const float* p, int np_, uint64_t seed) {
+  // p = [granular_scale, num_granular, distribution_r, friction, mass]
+  float scale = p[0];
+  int num = (int)p[1];
+  float dist_r = p[2];
+  float friction = p[3];
+  auto* s = new Sim();
+  s->self_collision = true;
+  s->params.dynamic_friction = friction;
+  s->params.particle_radius = 0.5f * scale;
+  s->params.contact_radius_scale = 2.0f;
+  // grains need strong velocity damping as a stand-in for rolling
+  // resistance, else piles never stop sliding on the frictionless-ish plane
+  s->params.damping = 4.0f;
+  std::mt19937_64 rng(seed);
+  // non-overlapping jittered grid spawn (overlapping spawns explode under
+  // position-based contact projection); layers stack upward until num grains
+  // are placed within the distribution radius
+  float cell_sz = s->params.particle_radius * 2.05f;
+  int per_side = std::max(1, (int)std::floor(2.0f * dist_r / cell_sz));
+  std::uniform_real_distribution<float> J(-0.2f * cell_sz, 0.2f * cell_sz);
+  int placed = 0;
+  for (int layer = 0; placed < num && layer < 64; ++layer) {
+    for (int gx = 0; gx < per_side && placed < num; ++gx) {
+      for (int gz = 0; gz < per_side && placed < num; ++gz) {
+        Vec3 c{-dist_r + (gx + 0.5f) * cell_sz + J(rng),
+               s->params.particle_radius + layer * cell_sz + 0.001f,
+               -dist_r + (gz + 0.5f) * cell_sz + J(rng)};
+        s->add_particle(c, 1.0f / std::max(0.01f, scale));
+        ++placed;
+      }
+    }
+  }
+  return s;
+}
+
+Sim* make_cloth(const float* p, int np_, uint64_t seed) {
+  // p = [nx, nz, spacing, sf(stiffness 0..1), friction, x, z]
+  int nx = (int)p[0], nz = (int)p[1];
+  float spacing = p[2], sf = p[3], friction = p[4];
+  float x0 = p[5], z0 = p[6];
+  auto* s = new Sim();
+  s->params.dynamic_friction = friction;
+  s->params.particle_radius = spacing * 0.4f;
+  auto idx = [nx](int i, int j) { return j * nx + i; };
+  for (int j = 0; j < nz; ++j)
+    for (int i = 0; i < nx; ++i)
+      s->add_particle({x0 + i * spacing, s->params.particle_radius + 0.001f, z0 + j * spacing}, 1.0f);
+  // stretch compliance falls with sf (reference cloth stiffness triple,
+  // src/sim/sim_env/scenes.py:150-154)
+  float stretch_c = 1e-5f * std::pow(10.0f, -2.0f * sf);
+  float bend_c = 0.01f * std::pow(10.0f, -2.0f * sf);
+  for (int j = 0; j < nz; ++j)
+    for (int i = 0; i < nx; ++i) {
+      if (i + 1 < nx) s->add_distance(idx(i, j), idx(i + 1, j), stretch_c);
+      if (j + 1 < nz) s->add_distance(idx(i, j), idx(i, j + 1), stretch_c);
+      if (i + 1 < nx && j + 1 < nz) {
+        s->add_distance(idx(i, j), idx(i + 1, j + 1), stretch_c * 2);
+        s->add_distance(idx(i + 1, j), idx(i, j + 1), stretch_c * 2);
+      }
+      if (i + 2 < nx) s->add_distance(idx(i, j), idx(i + 2, j), bend_c);
+      if (j + 2 < nz) s->add_distance(idx(i, j), idx(i, j + 2), bend_c);
+    }
+  return s;
+}
+
+Sim* make_softbody(const float* p, int np_, uint64_t seed) {
+  // p = [nx, ny, nz, spacing, stiffness, cluster_spacing, friction, x, z,
+  //      fixed_bottom_frac]
+  int nx = (int)p[0], ny = (int)p[1], nz = (int)p[2];
+  float spacing = p[3], stiffness = p[4];
+  int cluster_span = std::max(2, (int)p[5]);
+  float friction = p[6];
+  float x0 = p[7], z0 = p[8];
+  float fixed_frac = p[9];
+  auto* s = new Sim();
+  s->params.dynamic_friction = friction;
+  s->params.particle_radius = spacing * 0.45f;
+  auto idx = [nx, ny](int i, int j, int k) { return (k * ny + j) * nx + i; };
+  for (int k = 0; k < nz; ++k)
+    for (int j = 0; j < ny; ++j)
+      for (int i = 0; i < nx; ++i) {
+        float y = s->params.particle_radius + j * spacing;
+        // bottom fraction fixed in place (inv mass 0), mirroring
+        // by_softbody.h:364-394 fixed-particle support
+        float im = (j < fixed_frac * ny) ? 0.0f : 1.0f;
+        s->add_particle({x0 + i * spacing, y, z0 + k * spacing}, im);
+      }
+  // overlapping shape-matching clusters of span cluster_span
+  int step = std::max(1, cluster_span / 2);
+  for (int k = 0; k < nz; k += step)
+    for (int j = 0; j < ny; j += step)
+      for (int i = 0; i < nx; i += step) {
+        Cluster cl;
+        Vec3 com{0, 0, 0};
+        for (int dk = 0; dk < cluster_span; ++dk)
+          for (int dj = 0; dj < cluster_span; ++dj)
+            for (int di = 0; di < cluster_span; ++di) {
+              int ii = i + di, jj = j + dj, kk = k + dk;
+              if (ii >= nx || jj >= ny || kk >= nz) continue;
+              cl.indices.push_back(idx(ii, jj, kk));
+            }
+        if (cl.indices.size() < 4) continue;
+        for (int id : cl.indices) com = add(com, s->pos[id]);
+        com = mul(com, 1.0f / cl.indices.size());
+        for (int id : cl.indices) cl.rest.push_back(sub(s->pos[id], com));
+        cl.stiffness = 0.1f + 0.85f * stiffness;
+        s->clusters.push_back(cl);
+      }
+  return s;
+}
+
+}  // namespace xpbd
+
+// ---------------- C API (ctypes) ----------------
+extern "C" {
+
+void* xpbd_create(int scene_type, const float* params, int n_params, uint64_t seed) {
+  switch (scene_type) {
+    case 0: return xpbd::make_rope(params, n_params, seed);
+    case 1: return xpbd::make_granular(params, n_params, seed);
+    case 2: return xpbd::make_cloth(params, n_params, seed);
+    case 3: return xpbd::make_softbody(params, n_params, seed);
+    default: return nullptr;
+  }
+}
+
+int xpbd_n_particles(void* h) { return static_cast<xpbd::Sim*>(h)->n(); }
+
+void xpbd_get_positions(void* h, float* out) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  std::memcpy(out, s->pos.data(), s->n() * 3 * sizeof(float));
+}
+
+void xpbd_get_inv_mass(void* h, float* out) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  std::memcpy(out, s->inv_mass.data(), s->n() * sizeof(float));
+}
+
+void xpbd_set_tool(void* h, const float* tool, int n_tool, float radius) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  s->tool_pos.assign(reinterpret_cast<const xpbd::Vec3*>(tool),
+                     reinterpret_cast<const xpbd::Vec3*>(tool) + n_tool);
+  s->params.tool_radius = radius;
+}
+
+void xpbd_get_tool(void* h, float* out) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  std::memcpy(out, s->tool_pos.data(), s->tool_pos.size() * 3 * sizeof(float));
+}
+
+void xpbd_step(void* h, const float* tool_target, int n_tool) {
+  static_cast<xpbd::Sim*>(h)->step(reinterpret_cast<const xpbd::Vec3*>(tool_target), n_tool);
+}
+
+void xpbd_destroy(void* h) { delete static_cast<xpbd::Sim*>(h); }
+}

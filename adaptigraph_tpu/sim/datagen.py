@@ -1,0 +1,77 @@
+"""Data-generation driver: episodes of randomized pushes -> h5.
+
+Re-implements the reference driver (reference:
+``src/sim/data_gen/data_gen.py:16-239``): per-episode worker that resets the
+env, samples+executes pushes with a validity gate and bounded retries, stores
+one h5 per push plus the episode physics properties, fanned out over a
+process pool.
+"""
+
+import multiprocessing as mp
+import os
+
+import numpy as np
+
+from adaptigraph_tpu.sim import io as sim_io
+from adaptigraph_tpu.sim.env import PushEnv
+
+MAX_RETRIES = 10  # reference: data_gen.py:77 retry budget
+
+
+def gen_episode(data_dir, material, epi_idx, n_pushes, seed):
+    epi_dir = os.path.join(data_dir, f"{epi_idx:06d}")
+    os.makedirs(epi_dir, exist_ok=True)
+    env = PushEnv(material, seed=seed)
+    env.reset()
+    fixed_mask = env.get_fixed_mask()
+
+    push_idx = 0
+    bad = False
+    while push_idx < n_pushes:
+        for attempt in range(MAX_RETRIES):
+            action = env.sample_push()
+            before = env.get_positions()
+            positions, eef_states = env.execute_push(action)
+            if not np.isfinite(positions).all():
+                # simulator blow-up aborts the episode
+                # (reference: flex_env.py:458-460 NaN check)
+                bad = True
+                break
+            if env.push_moved_object(before, positions[-1]):
+                break
+        else:
+            bad = True
+        if bad:
+            break
+        push_idx += 1
+        inv0 = np.tile(fixed_mask[None, :, None], (positions.shape[0], 1, 1))
+        sim_io.store_episode_step(
+            os.path.join(epi_dir, f"{push_idx:02d}.h5"),
+            positions,
+            eef_states,
+            action,
+            inv_weight_is_0=inv0,
+        )
+    sim_io.store_properties(epi_dir, env.properties)
+    return epi_idx, push_idx, bad
+
+
+def _worker(args):
+    return gen_episode(*args)
+
+
+def generate(data_dir, material, n_episodes, n_pushes=5, n_workers=1, seed=0):
+    """Fan episodes out over a process pool (reference: data_gen.py:215-239).
+    Returns the list of bad episode indices (reference: bad_episodes.txt)."""
+    os.makedirs(data_dir, exist_ok=True)
+    jobs = [(data_dir, material, e, n_pushes, seed + e * 997) for e in range(n_episodes)]
+    if n_workers > 1:
+        with mp.Pool(n_workers) as pool:
+            results = pool.map(_worker, jobs)
+    else:
+        results = [_worker(j) for j in jobs]
+    bad = [e for e, _, b in results if b]
+    if bad:
+        with open(os.path.join(data_dir, "bad_episodes.txt"), "w") as f:
+            f.write("\n".join(str(b) for b in bad))
+    return bad

@@ -1,0 +1,122 @@
+"""Push environment over the XPBD engine.
+
+Plays the role of the reference ``FlexEnv`` (reference:
+``src/sim/sim_env/flex_env.py:23-1065``): scene setup, material-specific push
+sampling, push execution with frame capture, and end-effector state
+recording. The reference drives a simulated xArm6 through PyBullet IK to
+move the pusher (flex_env.py:308-481); here the pusher is a kinematic tool in
+the XPBD engine — the learning stack only ever sees eef keypoints, so the
+robot tier is not on the data path (it lives in ``realworld``).
+"""
+
+import numpy as np
+
+from adaptigraph_tpu.sim.engine import XPBDScene
+from adaptigraph_tpu.sim.scenes import SCENE_SAMPLERS, PUSHER_GEOMETRY
+from adaptigraph_tpu.utils.transforms import quat_from_yaw
+
+PUSH_STEP = 0.02  # tool travel per sim frame
+FRAME_EVERY = 5  # capture cadence (0.1 units of travel per captured frame)
+
+
+class PushEnv:
+    def __init__(self, material, seed=0):
+        assert material in SCENE_SAMPLERS, material
+        self.material = material
+        self.rng = np.random.RandomState(seed)
+        self.geom = PUSHER_GEOMETRY[material]
+        self.scene = None
+        self.properties = None
+
+    def reset(self):
+        """Sample a scene, settle it (reference: flex_env.py:259-306)."""
+        name, params, props = SCENE_SAMPLERS[self.material](self.rng)
+        self.scene = XPBDScene(name, params, seed=int(self.rng.randint(1 << 31)))
+        self.properties = props
+        no_tool = np.zeros((0, 3), np.float32)
+        for _ in range(30):
+            self.scene.step(no_tool)
+        return self.get_positions()
+
+    def get_positions(self):
+        return self.scene.get_positions()
+
+    def get_fixed_mask(self):
+        return self.scene.get_inv_mass() == 0.0
+
+    def sample_push(self):
+        """Material push sampling: start outside the object, aim through a
+        random particle (reference: flex_env.py:493-569 sample_deform_actions
+        family). Returns (x_start, z_start, x_end, z_end)."""
+        pts = self.get_positions()
+        i = self.rng.randint(pts.shape[0])
+        target = pts[i, [0, 2]]
+        center = pts[:, [0, 2]].mean(axis=0)
+        ang = self.rng.uniform(-np.pi, np.pi)
+        start = target + np.array([np.cos(ang), np.sin(ang)]) * self.rng.uniform(0.35, 0.7)
+        # aim past the chosen particle toward a jittered interior point
+        aim = target * 0.5 + center * 0.5 + self.rng.uniform(-0.15, 0.15, 2)
+        d = aim - start
+        d = d / (np.linalg.norm(d) + 1e-9)
+        length = self.rng.uniform(0.6, 1.5)
+        end = start + d * length
+        return np.array([start[0], start[1], end[0], end[1]], np.float32)
+
+    def _tool_points(self, x, z, theta, y):
+        offs = np.asarray(self.geom["offsets"], np.float32)
+        pts = np.zeros((len(offs), 3), np.float32)
+        pts[:, 0] = x + offs * np.sin(theta)
+        pts[:, 1] = y
+        pts[:, 2] = z - offs * np.cos(theta)
+        return pts
+
+    def _eef_state(self, x, z, theta, y, prev):
+        """14-dof eef state [pos, prev_pos, quat, prev_quat] matching the
+        reference h5 schema (src/sim/data_gen/data.py)."""
+        st = np.zeros(14, np.float32)
+        st[0:3] = [x, y, z]
+        st[3:6] = prev[0:3] if prev is not None else st[0:3]
+        # our eef keypoint offsets are along local x; rotate by yaw -(theta)
+        # so that keypoints line up with the board orientation
+        st[6:10] = quat_from_yaw(-theta)
+        st[10:14] = prev[6:10] if prev is not None else st[6:10]
+        return st
+
+    def execute_push(self, action):
+        """Run one push, capturing frames every FRAME_EVERY sim steps
+        (reference: flex_env.py:308-481 contact-gated capture loop).
+
+        Returns (positions (T, N, 3), eef_states (T, 1, 14)).
+        """
+        x0, z0, x1, z1 = [float(v) for v in action]
+        theta = np.arctan2(z1 - z0, x1 - x0)
+        pts = self.get_positions()
+        y = max(0.03, float(pts[:, 1].min()))
+
+        tool = self._tool_points(x0, z0, theta, y)
+        self.scene.set_tool(tool, radius=self.geom["radius"])
+
+        total = np.hypot(x1 - x0, z1 - z0)
+        n_steps = max(2, int(total / PUSH_STEP))
+        frames_pos, frames_eef = [], []
+        prev_state = None
+        for s in range(n_steps):
+            frac = (s + 1) / n_steps
+            x = x0 + (x1 - x0) * frac
+            z = z0 + (z1 - z0) * frac
+            target = self._tool_points(x, z, theta, y)
+            self.scene.step(target)
+            if s % FRAME_EVERY == 0 or s == n_steps - 1:
+                frames_pos.append(self.get_positions())
+                st = self._eef_state(x, z, theta, y, prev_state)
+                prev_state = st
+                frames_eef.append(st[None])
+        # retreat the tool upward so the next push starts clean
+        up = self._tool_points(x1, z1, theta, y + 1.0)
+        self.scene.step(up)
+        return np.asarray(frames_pos), np.asarray(frames_eef)
+
+    def push_moved_object(self, before, after, threshold=0.01):
+        """Push-validity gate: mean particle displacement (the reference
+        gates on image change, data_gen.py:140-155; no rendering here)."""
+        return float(np.abs(after - before).mean()) > threshold

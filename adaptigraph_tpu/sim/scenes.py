@@ -1,0 +1,120 @@
+"""Scene parameter samplers for data generation.
+
+Mirrors the reference's per-material randomized physics sampling
+(reference: ``src/sim/sim_env/scenes.py`` — rope ``:24-31``, granular
+``:87-138``, cloth ``:150-154``, softbody ``:178``): each sampler draws the
+physics parameters that condition the dynamics model and returns
+
+  (scene_name, scene_params, properties)
+
+where ``scene_params`` feeds the C++ builder (``sim/cpp/xpbd.cpp``) and
+``properties`` is the episode's ``property_params.json`` consumed by
+preprocessing (normalization ranges in ``configs/dynamics/*.yaml``).
+"""
+
+import numpy as np
+
+
+def rope_scene(rng):
+    stiffness = rng.uniform(0.0, 1.0)
+    length = rng.uniform(2.5, 4.0)
+    n_particles = int(length / 0.06)
+    friction = rng.uniform(0.1, 0.45)
+    theta = rng.uniform(-np.pi, np.pi)
+    x, z = rng.uniform(-0.5, 0.5, size=2)
+    scene_params = [n_particles, length, 3.0, stiffness, friction, x, z, theta]
+    properties = {
+        "particle_radius": 0.03,
+        "num_particles": n_particles,
+        "length": float(length),
+        "thickness": 3.0,
+        "dynamic_friction": float(friction),
+        "stiffness": float(stiffness),
+    }
+    return "rope", scene_params, properties
+
+
+def granular_scene(rng):
+    granular_scale = rng.uniform(0.1, 0.3)
+    distribution_r = rng.uniform(0.5, 0.8)
+    # grain count from fill area (reference: scenes.py:87-138 derives counts
+    # from blob area / scale)
+    num_granular = int((2 * distribution_r / granular_scale) ** 2 * rng.uniform(0.3, 0.7))
+    num_granular = max(9, min(num_granular, 400))
+    friction = rng.uniform(0.2, 0.9)
+    granular_mass = rng.uniform(0.01, 0.1)
+    scene_params = [granular_scale, num_granular, distribution_r, friction, granular_mass]
+    properties = {
+        "particle_radius": float(0.5 * granular_scale),
+        "num_particles": num_granular,
+        "granular_scale": float(granular_scale),
+        "num_granular": num_granular,
+        "distribution_r": float(distribution_r),
+        "dynamic_friction": float(friction),
+        "granular_mass": float(granular_mass),
+    }
+    return "granular", scene_params, properties
+
+
+def cloth_scene(rng):
+    sf = rng.uniform(0.0, 1.0)
+    nx = rng.randint(12, 18)
+    nz = rng.randint(12, 18)
+    spacing = rng.uniform(0.07, 0.09)
+    friction = rng.uniform(0.2, 0.6)
+    x = -0.5 * nx * spacing + rng.uniform(-0.2, 0.2)
+    z = -0.5 * nz * spacing + rng.uniform(-0.2, 0.2)
+    scene_params = [nx, nz, spacing, sf, friction, x, z]
+    properties = {
+        "particle_radius": float(spacing * 0.4),
+        "num_particles": nx * nz,
+        "sf": float(sf),
+        "dynamic_friction": float(friction),
+    }
+    return "cloth", scene_params, properties
+
+
+def softbody_scene(rng):
+    stiffness = rng.uniform(0.0, 1.0)
+    nx, ny, nz = rng.randint(5, 8), rng.randint(4, 6), rng.randint(5, 8)
+    spacing = rng.uniform(0.09, 0.12)
+    cluster_spacing = rng.uniform(2.0, 4.0)
+    friction = rng.uniform(0.1, 0.45)
+    x = -0.5 * nx * spacing + rng.uniform(-0.2, 0.2)
+    z = -0.5 * nz * spacing + rng.uniform(-0.2, 0.2)
+    scene_params = [nx, ny, nz, spacing, stiffness, cluster_spacing, friction, x, z, 0.2]
+    properties = {
+        "particle_radius": float(spacing * 0.45),
+        "num_particles": nx * ny * nz,
+        "cluster_radius": float(cluster_spacing * spacing),
+        "cluster_spacing": float(cluster_spacing),
+        "dynamic_friction": float(friction),
+        "stiffness": float(stiffness),
+    }
+    return "softbody", scene_params, properties
+
+
+SCENE_SAMPLERS = {
+    "rope": rope_scene,
+    "granular": granular_scene,
+    "cloth": cloth_scene,
+    "softbody": softbody_scene,
+}
+
+# pusher geometry per material (reference: config/dynamics/*.yaml eef section
+# + task_config pusher_points)
+PUSHER_GEOMETRY = {
+    "rope": {"offsets": [0.0], "radius": 0.06, "n_eef": 1},
+    "granular": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
+    "cloth": {"offsets": [0.0], "radius": 0.06, "n_eef": 1},
+    "softbody": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
+}
+
+# eef keypoint offsets used at preprocess time: keypoint j =
+# eef_pos + R(quat) @ offset_j (reference: preprocess.py:44-71 + config eef.pos)
+EEF_OFFSETS = {
+    "rope": [[0.0, 0.0, 0.0]],
+    "granular": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
+    "cloth": [[0.0, 0.0, 0.0]],
+    "softbody": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
+}

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark driver: rope-pushing MPPI solves/s per chip (headline metric)
+plus rollout steps/s, printed as ONE JSON line.
+
+Workload (BASELINE.md "MPPI solve budget"): the reference solves rope pushing
+with n_sample=20000 in 40 sequential 500-sample GPU chunks per solve,
+n_look_ahead=1, push repeats 5..15 (config/planning/rope.yaml:39-44). Here one
+solve is a fused on-device program (chunked lax.map) on one TPU chip.
+
+vs_baseline: the reference publishes no timings (BASELINE.json.published = {}).
+The denominator is a documented estimate of the RTX-4090 reference:
+15 substeps x (batch-500 GNN forward + O(B*N^2) edge rebuild + nonzero/item
+host syncs in pad_torch/construct_edges_from_states_batch) ~= 0.2-0.3 s per
+chunk -> ~8-12 s per 20000-sample solve -> ~0.1 solves/s.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+from adaptigraph_tpu.ops.graph import EdgeConfig, build_neighbor_graph
+from adaptigraph_tpu.ops.costs import chamfer, rope_penalty, bbox_penalty
+from adaptigraph_tpu.planning.forward import DynamicsConfig
+from adaptigraph_tpu.planning.mppi_solve import MPPIConfig, make_mppi_solver
+from adaptigraph_tpu.dynamics.rollout import rollout_scan
+
+BASELINE_SOLVES_PER_S = 0.1  # documented estimate, see module docstring
+
+# rope dynamics config (config/dynamics/rope.yaml) + planning task config
+# (config/planning/rope.yaml)
+GNN = GNNConfig(n_his=4, max_nobj=100, max_neef=1, nf_particle=128,
+                nf_relation=128, nf_effect=128, pstep=3)
+EDGE = EdgeConfig(max_nobj=100, max_neef=1, topk=10)
+DCFG = DynamicsConfig(gnn=GNN, edge=EDGE, n_his=4, push_length=0.1,
+                      sim_real_ratio=10.0, max_repeat=15, adj_thresh=0.5)
+MCFG = MPPIConfig(n_sample=20000, n_sample_chunk=2000, n_look_ahead=1,
+                  n_update_iter=1, reward_weight=500.0, noise_level=1.0)
+LOWER = np.asarray([-4.5, -2.5, -np.pi, 5.0], np.float32)
+UPPER = np.asarray([0.0, 4.5, np.pi, 15.0], np.float32)
+BBOX = jnp.asarray([[-4.5, 0.0], [-2.5, 4.5]])
+
+
+def make_reward(target_state):
+    """running_cost semantics (reference: src/planning/plan.py:27-59)."""
+
+    def reward_fn(state_seqs, act_seqs, state_cur):
+        B, L = state_seqs.shape[0], state_seqs.shape[1]
+        final = state_seqs[:, -1]
+        error = chamfer(final, jnp.broadcast_to(target_state[None], (B,) + target_state.shape))
+        error_weight = 2.0 / (jnp.max(error) + 1e-6)
+        coll = rope_penalty(state_seqs, act_seqs, state_cur)
+        box = bbox_penalty(state_seqs, BBOX)
+        return -error_weight * error - 5.0 * jnp.mean(coll, axis=1) - 5.0 * jnp.mean(box, axis=1)
+
+    return reward_fn
+
+
+def rope_state(rng):
+    t = np.linspace(0, 2.0, 100)
+    pts = np.stack([-2.0 + np.sin(t * 2) * 0.3, 0.05 * np.ones_like(t), t], 1)
+    return (pts + rng.randn(100, 3) * 0.01).astype(np.float32)
+
+
+def bench_mppi(n_solves=5):
+    rng = np.random.RandomState(0)
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    state = jnp.asarray(rope_state(rng))
+    target = jnp.asarray(rope_state(rng) + np.asarray([0.5, 0.0, 0.3], np.float32))
+    solve = make_mppi_solver(DCFG, MCFG, make_reward(target), LOWER, UPPER)
+    act0 = jnp.asarray(np.array([[-2.0, 1.0, 0.5, 8.0]], np.float32))
+    phys = jnp.asarray([0.5])
+
+    res = solve(params, state, act0, jax.random.PRNGKey(1), phys)  # compile
+    assert np.isfinite(res["best_reward"])
+
+    t0 = time.time()
+    for i in range(n_solves):
+        res = solve(params, state, act0, jax.random.PRNGKey(2 + i), phys)
+    jax.block_until_ready(res["best_final_state"])
+    dt = (time.time() - t0) / n_solves
+    return 1.0 / dt, res
+
+
+def bench_rollout(n_steps=100, reps=3):
+    rng = np.random.RandomState(1)
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    N = GNN.n_nodes
+    hist = jnp.asarray(rng.randn(4, N, 3).astype(np.float32) * 0.3)
+    eef_seq = jnp.asarray(rng.randn(n_steps, 1, 3).astype(np.float32) * 0.3)
+    gt_seq = jnp.asarray(rng.randn(n_steps, 100, 3).astype(np.float32) * 0.3)
+    state_mask = jnp.ones(N, bool)
+    eef_mask = jnp.zeros(N, bool).at[100].set(True)
+    attrs = jnp.zeros((N, 2)).at[:100, 0].set(1.0).at[100, 1].set(1.0)
+    p_inst = jnp.ones((100, 1))
+    args = (params, hist, eef_seq, gt_seq, state_mask, eef_mask, attrs, p_inst,
+            jnp.asarray([0.5]), jnp.asarray(100), jnp.asarray(0.5))
+    err, _ = rollout_scan(*args, GNN, EDGE)  # compile
+    jax.block_until_ready(err)
+    t0 = time.time()
+    for _ in range(reps):
+        err, _ = rollout_scan(*args, GNN, EDGE)
+    jax.block_until_ready(err)
+    return n_steps * reps / (time.time() - t0)
+
+
+def main():
+    solves_per_s, _ = bench_mppi()
+    rollout_steps_s = bench_rollout()
+    out = {
+        "metric": "rope MPPI solves/s per chip (n_sample=20000, horizon 1, repeats<=15)",
+        "value": round(solves_per_s, 4),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "extra": {
+            "rollout_steps_per_s": round(rollout_steps_s, 1),
+            "baseline_estimate_solves_per_s": BASELINE_SOLVES_PER_S,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,9 +159,10 @@ def test_gather_batched():
 
 def test_degree_bound_is_static():
     cfg = EdgeConfig(max_nobj=40, max_neef=3, topk=6, policy="tools_all")
-    assert cfg.K == 9
+    assert cfg.K == 16  # 9 slots tile-aligned up to a multiple of 8
     rng = np.random.RandomState(0)
     states, node_mask, tool_mask = make_scene(rng)
     nbrs, mask = build_neighbor_graph(states, node_mask, tool_mask, 10.0, cfg)
-    assert nbrs.shape == (43, 9)
-    assert mask.shape == (43, 9)
+    assert nbrs.shape == (43, 16)
+    assert mask.shape == (43, 16)
+    assert not np.asarray(mask)[:, 9:].any()  # padding slots always masked

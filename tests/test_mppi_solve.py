@@ -1,0 +1,67 @@
+"""Fused MPPI solver tests, incl. multi-device shard_map consistency."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+from adaptigraph_tpu.ops.graph import EdgeConfig
+from adaptigraph_tpu.ops.costs import chamfer
+from adaptigraph_tpu.planning.forward import DynamicsConfig
+from adaptigraph_tpu.planning.mppi_solve import MPPIConfig, make_mppi_solver
+from adaptigraph_tpu.parallel.mesh import make_mesh
+
+GNN = GNNConfig(n_his=4, max_nobj=20, max_neef=1, nf_particle=16, nf_relation=16,
+                nf_effect=16, pstep=2)
+DCFG = DynamicsConfig(
+    gnn=GNN, edge=EdgeConfig(max_nobj=20, max_neef=1, topk=5), n_his=4,
+    max_repeat=4, adj_thresh=0.5,
+)
+LOWER = np.asarray([-2.0, -2.0, -np.pi, 2.0], np.float32)
+UPPER = np.asarray([2.0, 2.0, np.pi, 4.0], np.float32)
+
+
+def make_reward(target):
+    def reward_fn(state_seqs, act_seqs, state_cur):
+        final = state_seqs[:, -1]
+        return -chamfer(final, jnp.broadcast_to(target[None], (final.shape[0],) + target.shape))
+    return reward_fn
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    rng = np.random.RandomState(0)
+    state = jnp.asarray(rng.uniform(-0.5, 0.5, size=(20, 3)).astype(np.float32))
+    target = jnp.asarray(np.asarray(state) + np.asarray([0.3, 0.0, 0.2], np.float32))
+    return params, state, target
+
+
+def test_solve_improves_reward(setup):
+    params, state, target = setup
+    mcfg = MPPIConfig(n_sample=64, n_sample_chunk=16, n_look_ahead=1, n_update_iter=3,
+                      reward_weight=50.0, noise_level=0.5)
+    solve = make_mppi_solver(DCFG, mcfg, make_reward(target), LOWER, UPPER)
+    act0 = jnp.zeros((1, 4)).at[0, 3].set(3.0)
+    res = solve(params, state, act0, jax.random.PRNGKey(1), jnp.asarray([0.5]))
+    assert np.isfinite(res["best_reward"])
+    assert res["act_seq"].shape == (1, 4)
+    assert res["best_final_state"].shape == (20, 3)
+    # best reward beats the average of a fresh uniform batch by construction
+    assert res["best_reward"] > -10.0
+
+
+def test_sharded_solve_matches_single(setup):
+    params, state, target = setup
+    mesh = make_mesh(8)
+    mcfg = MPPIConfig(n_sample=64, n_sample_chunk=8, n_look_ahead=1, n_update_iter=2,
+                      reward_weight=50.0, noise_level=0.5)
+    solve1 = make_mppi_solver(DCFG, mcfg, make_reward(target), LOWER, UPPER)
+    solve8 = make_mppi_solver(DCFG, mcfg, make_reward(target), LOWER, UPPER, mesh=mesh)
+    act0 = jnp.zeros((1, 4)).at[0, 3].set(3.0)
+    r1 = solve1(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
+    r8 = solve8(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
+    np.testing.assert_allclose(r1["best_reward"], r8["best_reward"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["act_seq"]), np.asarray(r8["act_seq"]), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,146 @@
+"""End-to-end data pipeline: synthetic sim -> preprocess -> dataset -> train.
+
+Covers the semantics of preprocess.py frame-pair extraction, DynDataset
+assembly and the multi-step training loss (reference: preprocess.py:106-176,
+dataset.py:117-383, train.py:94-124)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from adaptigraph_tpu.sim.synthetic import gen_rope_dataset, SYNTH_EEF_OFFSETS
+from adaptigraph_tpu.dynamics.preprocess import preprocess, extract_frame_pairs, process_eef
+from adaptigraph_tpu.dynamics.dataset import DynDataset, BatchLoader
+from adaptigraph_tpu.dynamics.graphs import GraphSpec
+from adaptigraph_tpu.dynamics import train as train_mod
+from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+from adaptigraph_tpu.ops.graph import EdgeConfig
+
+PHYS_SPECS = [
+    {"name": "stiffness", "use": True, "min": 0.0, "max": 1.0},
+    {"name": "length", "use": False, "min": 0.0, "max": 5.0},
+]
+
+SPEC = GraphSpec(
+    n_his=4,
+    n_future=3,
+    max_nobj=40,
+    max_neef=1,
+    fps_radius_range=(0.18, 0.22),
+    adj_radius_range=(0.48, 0.52),
+    topk=10,
+)
+
+
+@pytest.fixture(scope="module")
+def prep_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    sim_dir = str(root / "sim")
+    prep = str(root / "prep")
+    gen_rope_dataset(sim_dir, n_episodes=4, n_pushes=2, seed=0, n_particles=30)
+    n = preprocess(sim_dir, prep, SYNTH_EEF_OFFSETS, n_his=4, n_future=3, dist_thresh=0.1,
+                   phys_param_specs=PHYS_SPECS)
+    assert n == 4
+    return prep
+
+
+def test_extract_frame_pairs_spacing():
+    # eef moves 0.06 per frame in x; dist_thresh 0.1 -> every 2nd frame
+    T = 12
+    eef = np.zeros((T, 1, 3))
+    eef[:, 0, 0] = np.arange(T) * 0.06
+    pairs = extract_frame_pairs(eef, 0.1, n_his=3, n_future=2)
+    assert pairs.shape == (T, 5)
+    # a middle frame has exact history/future spacing of 2 frames
+    row = pairs[6]
+    assert row.tolist() == [2, 4, 6, 8, 10]
+    # first frame: history padded by repetition
+    assert pairs[0].tolist() == [0, 0, 0, 2, 4]
+
+
+def test_extract_frame_pairs_rest_state():
+    T = 10
+    eef = np.zeros((T, 1, 3))
+    eef[:, 0, 0] = np.arange(T) * 0.1
+    pairs = extract_frame_pairs(eef, 0.1, n_his=4, n_future=2, frame_offset=100, store_rest_state=True)
+    assert pairs.shape == (T, 6)
+    assert (pairs[:, 0] == 0).all()  # rest frame is global index 0, unoffset
+    assert (pairs[:, 1:] >= 100).all()
+
+
+def test_process_eef_offset_rotation():
+    T = 2
+    eef_states = np.zeros((T, 1, 14))
+    eef_states[:, 0, 0:3] = [1.0, 2.0, 3.0]
+    # 90 degrees about y: x-axis -> -z ... offset (0,0,1) -> (1,0,0)
+    eef_states[:, 0, 6:10] = [0, np.sin(np.pi / 4), 0, np.cos(np.pi / 4)]
+    out = process_eef(eef_states, [[0.0, 0.0, 1.0]])
+    np.testing.assert_allclose(out[0, 0], [2.0, 2.0, 3.0], atol=1e-6)
+
+
+def test_dataset_sample_shapes(prep_dir):
+    ds = DynDataset(prep_dir, SPEC, phase="train", ratio={"train": [0, 0.75], "valid": [0.75, 1]})
+    assert len(ds) > 0
+    rng = np.random.RandomState(0)
+    s = ds.sample(0, rng)
+    N = SPEC.n_nodes
+    assert s["state"].shape == (4, N, 3)
+    assert s["action"].shape == (N, 3)
+    assert s["state_future"].shape == (3, 40, 3)
+    assert s["eef_future"].shape == (2, N, 3)
+    assert s["attrs"].shape == (N, 2)
+    assert s["state_mask"][40]  # eef slot valid
+    assert s["obj_mask"].sum() > 5
+    assert 0.0 <= s["physics_param"][0] <= 1.0
+    # eef action is the delta between history end and next frame
+    assert np.abs(s["action"][40]).sum() > 0
+
+
+def test_batch_loader(prep_dir):
+    ds = DynDataset(prep_dir, SPEC, phase="train", ratio={"train": [0, 0.75], "valid": [0.75, 1]})
+    loader = BatchLoader(ds, batch_size=4, seed=0)
+    b = next(loader)
+    assert b["state"].shape == (4, 4, SPEC.n_nodes, 3)
+    assert b["adj_thresh"].shape == (4,)
+    loader.close()
+
+
+def test_training_loss_decreases(prep_dir):
+    ds = DynDataset(prep_dir, SPEC, phase="train", ratio={"train": [0, 1.0], "valid": [0, 1.0]})
+    loader = BatchLoader(ds, batch_size=8, seed=1)
+    gnn_cfg = GNNConfig(n_his=4, max_nobj=40, max_neef=1, nf_particle=32, nf_relation=32,
+                        nf_effect=32, pstep=2)
+    edge_cfg = EdgeConfig(max_nobj=40, max_neef=1, topk=10)
+    hyper = train_mod.TrainHyper(n_future=3, state_noise_train=0.01)
+
+    import optax
+
+    params = init_params(jax.random.PRNGKey(0), gnn_cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = train_mod.make_train_step(gnn_cfg, edge_cfg, hyper, opt)
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(40):
+        batch = next(loader)
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, batch, k)
+        losses.append(float(loss))
+    loader.close()
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:5]), losses
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from adaptigraph_tpu.utils.checkpoint import save_pytree, load_pytree
+
+    gnn_cfg = GNNConfig(nf_particle=16, nf_relation=16, nf_effect=16)
+    params = init_params(jax.random.PRNGKey(0), gnn_cfg)
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, params)
+    loaded = load_pytree(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), params, loaded
+    )

@@ -1,0 +1,66 @@
+"""Autoregressive rollout evaluator tests (reference semantics:
+src/dynamics/rollout/rollout.py:21-269)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from adaptigraph_tpu.dynamics.rollout import frame_chain, rollout_episode, rollout_dataset
+from adaptigraph_tpu.dynamics.graphs import GraphSpec
+from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+from adaptigraph_tpu.ops.graph import EdgeConfig
+from adaptigraph_tpu.sim.synthetic import gen_rope_dataset, SYNTH_EEF_OFFSETS
+from adaptigraph_tpu.dynamics.preprocess import preprocess
+
+SPEC = GraphSpec(
+    n_his=4, n_future=3, max_nobj=40, max_neef=1,
+    fps_radius_range=(0.18, 0.22), adj_radius_range=(0.48, 0.52), topk=10,
+)
+GNN = GNNConfig(n_his=4, max_nobj=40, max_neef=1, nf_particle=16, nf_relation=16,
+                nf_effect=16, pstep=2)
+ECFG = EdgeConfig(max_nobj=40, max_neef=1, topk=10)
+
+
+def test_frame_chain_spacing():
+    T = 20
+    eef = np.zeros((T, 1, 3))
+    eef[:, 0, 0] = np.arange(T) * 0.06
+    chain = frame_chain(eef, 0, 0.1, max_steps=5)
+    assert chain.tolist() == [0, 2, 4, 6, 8, 10]
+
+
+@pytest.fixture(scope="module")
+def prep_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ro")
+    sim_dir = str(root / "sim")
+    prep = str(root / "prep")
+    gen_rope_dataset(sim_dir, n_episodes=2, n_pushes=2, seed=3, n_particles=30)
+    preprocess(sim_dir, prep, SYNTH_EEF_OFFSETS, n_his=4, n_future=3, dist_thresh=0.1,
+               phys_param_specs=[{"name": "stiffness", "use": True, "min": 0.0, "max": 1.0}])
+    return prep
+
+
+def test_rollout_episode_mechanics(prep_dir):
+    from adaptigraph_tpu.dynamics.dataset import DynDataset
+
+    ds = DynDataset(prep_dir, SPEC, phase="valid", ratio={"train": [0, 0], "valid": [0, 1]})
+    epi = ds._episode(0)
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    errors, preds, chain = rollout_episode(
+        params, SPEC, GNN, ECFG, epi["obj_pos"], epi["eef_pos"], ds.physics_norm[0],
+        start=0, dist_thresh=0.1, max_steps=10,
+    )
+    assert len(chain) >= 2
+    assert errors.shape == (len(chain) - 1,)
+    assert np.isfinite(errors).all()
+    assert preds.shape == (len(chain) - 1, 40, 3)
+
+
+def test_rollout_dataset_stats(prep_dir):
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    stats = rollout_dataset(params, SPEC, GNN, ECFG, prep_dir, phase_ratio=(0.0, 1.0),
+                            dist_thresh=0.1, max_steps=8)
+    assert len(stats["median"]) > 0
+    assert np.isfinite(stats["median"]).all()
+    assert (stats["q25"] <= stats["q75"] + 1e-9).all()
