@@ -1,0 +1,249 @@
+"""Fused Pallas TPU kernel for the full GNN dynamics forward.
+
+The XLA version of the forward (models/gnn.py) materializes every
+edge-sized ``(B, N, K, F)`` tensor in HBM; at MPPI batch sizes that is
+~1 GB of traffic per message-passing step and dominates the solve
+(profiled: ~50 ms per batch-2000 forward). This kernel runs one *sample* per
+grid program and keeps everything — one-hot sender matrix, relation
+encodings, all ``pstep`` iterations, the motion head — in VMEM:
+
+  HBM reads per sample: node features + neighbor table (~10 KB)
+  HBM writes per sample: predicted positions (~1 KB)
+
+Layout: everything edge-sized is 2D ``(K * N_pad, ·)`` with ``N_pad`` a
+multiple of 8, so Mosaic sees only tile-aligned 2D ops — the sender gather is
+one ``(K*N_pad, N_pad) @ (N_pad, F)`` one-hot MXU matmul, receiver broadcast
+is a K-fold sublane concat, and aggregation is K aligned sublane slices
+summed. (A 3D ``(K, N, N)`` dot_general formulation hits an unsupported
+Mosaic shape cast.)
+
+Functionally identical to ``models.gnn.forward`` for configs with
+``rel_particle_dim == rel_density_dim == density_dim == 0`` (all shipped
+materials); parity is tested in tests/test_fused.py. Used on the inference
+hot paths (MPPI, rollout); training keeps the XLA path for autodiff.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adaptigraph_tpu.models.gnn import GNNConfig
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _supports(cfg: GNNConfig):
+    return (
+        cfg.rel_particle_dim == 0
+        and cfg.rel_density_dim == 0
+        and cfg.density_dim == 0
+        and cfg.offset_dim == 0
+        and cfg.rel_attr_dim == 2
+        and cfg.rel_group_dim == 1
+        and cfg.rel_distance_dim == 3
+    )
+
+
+def _kernel(cfg: GNNConfig, compute_dtype, Np, K,
+            p_inputs_ref, state_norm_ref, attrs_ref, g_ref, nbr_ref, mask_ref,
+            last_state_ref,
+            pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
+            re0w, re0b, re1w, re1b, re2w, re2b,
+            rp_w1, rp_w2, rp_w3, rp_b,
+            pp_wa, pp_wb, pp_b,
+            nr0w, nr0b, nr1w, nr1b, nr2w, nr2b,
+            pred_ref, motion_ref):
+    f32 = jnp.float32
+    cd = compute_dtype
+    KN = K * Np
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    def mlp3(x, w0, b0, w1, b1, w2, b2, final_relu):
+        x = jnp.maximum(dot(x, w0[:]) + b0[:], 0.0).astype(cd)
+        x = jnp.maximum(dot(x, w1[:]) + b1[:], 0.0).astype(cd)
+        x = dot(x, w2[:]) + b2[:]
+        return (jnp.maximum(x, 0.0) if final_relu else x).astype(cd)
+
+    def tileK(x):  # (Np, F') -> (K*Np, F') receiver broadcast
+        return jnp.concatenate([x] * K, axis=0)
+
+    # ---- one-hot sender matrix (K*Np, Np) ----
+    nbr = nbr_ref[0]  # (K*Np, 1) int32
+    col = jax.lax.broadcasted_iota(jnp.int32, (KN, Np), 1)
+    oh = (nbr == col).astype(cd)
+
+    def gather_s(x):  # (Np, F') -> (K*Np, F')
+        return dot(oh, x).astype(cd)
+
+    # ---- relation features (models/gnn.py:249-283 semantics) ----
+    attrs = attrs_ref[0].astype(cd)            # (Np, 2)
+    state_norm = state_norm_ref[0].astype(cd)  # (Np, n_his*3)
+    g = g_ref[0].astype(cd)                    # (Np, 1)
+
+    rel_inputs = jnp.concatenate(
+        [
+            tileK(attrs),
+            gather_s(attrs),
+            jnp.abs(tileK(g) - gather_s(g)),  # n_instance == 1 group diff
+            tileK(state_norm) - gather_s(state_norm),
+        ],
+        axis=-1,
+    )  # (K*Np, rel_in)
+
+    # ---- encoders ----
+    p_inputs = p_inputs_ref[0].astype(cd)  # (Np, Dp)
+    particle_encode = mlp3(p_inputs, pe0w, pe0b, pe1w, pe1b, pe2w, pe2b, True)  # (Np, F)
+    relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)  # (K*Np, F)
+
+    # ---- pstep message passing with hoisted linear terms ----
+    rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd)  # (K*Np, F)
+    part_base = (dot(particle_encode, pp_wa[:]) + pp_b[:]).astype(cd)  # (Np, F)
+    mask = mask_ref[0].astype(cd)  # (K*Np, 1)
+
+    effect = particle_encode
+    for _ in range(cfg.pstep):
+        recv = dot(effect, rp_w2[:]).astype(cd)            # (Np, F)
+        send = gather_s(dot(effect, rp_w3[:]).astype(cd))  # (K*Np, F)
+        eff_rel = jnp.maximum(rel_base + tileK(recv) + send, 0.0)
+        masked = (eff_rel * mask).astype(f32)
+        agg = masked[0:Np]
+        for k in range(1, K):
+            agg = agg + masked[k * Np : (k + 1) * Np]
+        effect = jnp.maximum(
+            part_base + dot(agg.astype(cd), pp_wb[:]).astype(cd) + effect, 0.0
+        ).astype(cd)
+
+    # ---- motion head (padded rows written too; sliced off outside) ----
+    motion = mlp3(effect, nr0w, nr0b, nr1w, nr1b, nr2w, nr2b, False).astype(f32)  # (Np, 3)
+    clamped = jnp.clip(motion, -cfg.motion_clamp, cfg.motion_clamp)
+    pred_ref[0] = last_state_ref[0].astype(f32) + clamped
+    motion_ref[0] = motion
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "interpret"))
+def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat16,
+                        interpret=False):
+    """Batched fused forward. Same graph dict as ``forward_batch`` (leading
+    batch dim on every field); returns (pred_pos, motion), (B, max_nobj, 3)."""
+    assert _supports(cfg), "config not supported by the fused kernel"
+    N = cfg.n_nodes
+    n_p, n_s = cfg.max_nobj, cfg.max_neef
+    Np = _round_up(N, 8)
+    state = graphs["state"]
+    B = state.shape[0]
+    K = graphs["neighbors"].shape[-1]
+    n_his = cfg.n_his
+
+    def padN(x):
+        # zero-pad the node axis (axis 1) N -> Np
+        return jnp.pad(x, [(0, 0), (0, Np - N)] + [(0, 0)] * (x.ndim - 2))
+
+    # ---- cheap node-level prep in XLA (O(B*N*small)) ----
+    state_res = state[:, 1:] - state[:, :-1]
+    state_norm = jnp.concatenate([state_res, state[:, -1:]], axis=1)
+    state_norm_t = padN(jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3))
+
+    phys = graphs["physics_param"]
+    if phys.ndim == 2 and phys.shape[-1] == cfg.phys_dim:
+        phys_p = jnp.broadcast_to(phys[:, None, :], (B, n_p, cfg.phys_dim))
+    else:
+        phys_p = phys.reshape(B, n_p, cfg.phys_dim)
+    phys_full = jnp.concatenate([phys_p, jnp.zeros((B, n_s, cfg.phys_dim), phys.dtype)], axis=1)
+
+    parts = [graphs["attrs"]]
+    if cfg.state_dim > 0:
+        parts.append(jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3))
+    parts.append(phys_full)
+    if cfg.action_dim > 0:
+        parts.append(graphs["action"])
+    p_inputs = padN(jnp.concatenate(parts, axis=-1))
+
+    attrs_p = padN(graphs["attrs"])
+    g = padN(
+        jnp.concatenate(
+            [graphs["p_instance"], jnp.zeros((B, n_s, cfg.n_instance), graphs["p_instance"].dtype)],
+            axis=1,
+        )
+    )
+    last_state_p = padN(state[:, -1])
+
+    # neighbors/mask -> flat (B, K*Np, 1) in (k, i) row order; padded rows
+    # point at node 0 with mask 0 (node 0's padded gather is masked out)
+    nbr_t = jnp.swapaxes(graphs["neighbors"], -1, -2).astype(jnp.int32)  # (B, K, N)
+    mask_t = jnp.swapaxes(graphs["nbr_mask"], -1, -2)
+    nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
+    mask_flat = (
+        jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1).astype(jnp.float32)
+    )
+
+    p = params
+    nf = cfg.nf_effect
+
+    def w(x):
+        return jnp.asarray(x, compute_dtype)
+
+    weights = [
+        w(p["particle_encoder"][0]["w"]), w(p["particle_encoder"][0]["b"]),
+        w(p["particle_encoder"][1]["w"]), w(p["particle_encoder"][1]["b"]),
+        w(p["particle_encoder"][2]["w"]), w(p["particle_encoder"][2]["b"]),
+        w(p["relation_encoder"][0]["w"]), w(p["relation_encoder"][0]["b"]),
+        w(p["relation_encoder"][1]["w"]), w(p["relation_encoder"][1]["b"]),
+        w(p["relation_encoder"][2]["w"]), w(p["relation_encoder"][2]["b"]),
+        w(p["relation_propagator"]["w"][:nf]),
+        w(p["relation_propagator"]["w"][nf : 2 * nf]),
+        w(p["relation_propagator"]["w"][2 * nf :]),
+        w(p["relation_propagator"]["b"]),
+        w(p["particle_propagator"]["w"][:nf]),
+        w(p["particle_propagator"]["w"][nf:]),
+        w(p["particle_propagator"]["b"]),
+        w(p["non_rigid_predictor"][0]["w"]), w(p["non_rigid_predictor"][0]["b"]),
+        w(p["non_rigid_predictor"][1]["w"]), w(p["non_rigid_predictor"][1]["b"]),
+        w(p["non_rigid_predictor"][2]["w"]), w(p["non_rigid_predictor"][2]["b"]),
+    ]
+
+    def block1(shape):
+        return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        block1(p_inputs.shape[1:]),
+        block1(state_norm_t.shape[1:]),
+        block1(attrs_p.shape[1:]),
+        block1(g.shape[1:]),
+        block1(nbr_flat.shape[1:]),
+        block1(mask_flat.shape[1:]),
+        block1((Np, 3)),
+    ] + [wspec(x) for x in weights]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, Np, 3), jnp.float32),
+        jax.ShapeDtypeStruct((B, Np, 3), jnp.float32),
+    )
+    out_specs = (block1((Np, 3)), block1((Np, 3)))
+
+    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K)
+    pred, motion = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        p_inputs, state_norm_t, attrs_p, g, nbr_flat, mask_flat,
+        last_state_p, *weights,
+    )
+    return pred[:, :n_p], motion[:, :n_p]
