@@ -1,0 +1,133 @@
+"""Perception tier: geometry unit tests + hardware-free end-to-end
+(SimRealEnv -> depth render -> fusion -> state builder vs ground-truth
+particles)."""
+
+import numpy as np
+import pytest
+
+from adaptigraph_tpu.realworld.cameras import VirtualCamera, make_multiview_cameras
+from adaptigraph_tpu.realworld.env import SimRealEnv, sim_to_board
+from adaptigraph_tpu.realworld.perception import (
+    PerceptionModule,
+    construct_graph,
+    get_state_cur,
+    obs_to_sim_coords,
+)
+from adaptigraph_tpu.realworld.pointcloud import (
+    crop_bbox,
+    depth_to_points,
+    fuse_views,
+    remove_statistical_outliers,
+    voxel_downsample,
+    z_percentile_filter,
+)
+
+
+def test_depth_unproject_roundtrip():
+    cam = make_multiview_cameras(n=1, width=64, height=64)[0]
+    pts = np.random.RandomState(0).uniform(-1, 1, (50, 3)).astype(np.float32)
+    pc = cam.world_to_cam(pts)
+    back = depth_to_points(
+        np.full((1, 1), 1.0, np.float32), cam.intr)  # smoke: shape only
+    assert back.shape == (1, 3)
+    # full roundtrip: unproject(project(p)) == p in camera frame
+    uv, z = cam.project(pts)
+    fx, fy, cx, cy = cam.intr
+    x = (uv[:, 0] - cx) / fx * z
+    y = (uv[:, 1] - cy) / fy * z
+    np.testing.assert_allclose(np.stack([x, y, z], 1), pc, rtol=1e-4, atol=1e-5)
+
+
+def test_voxel_downsample_averages():
+    pts = np.array([[0.0, 0.0, 0.0], [0.004, 0.0, 0.0], [1.0, 1.0, 1.0]],
+                   np.float32)
+    out = voxel_downsample(pts, 0.01)
+    assert out.shape == (2, 3)
+    got = sorted(out.tolist())
+    np.testing.assert_allclose(got[0], [0.002, 0.0, 0.0], atol=1e-6)
+
+
+def test_outlier_removal_drops_far_point():
+    rng = np.random.RandomState(0)
+    cluster = rng.randn(200, 3).astype(np.float32) * 0.01
+    outlier = np.array([[5.0, 5.0, 5.0]], np.float32)
+    pts = np.concatenate([cluster, outlier])
+    out = remove_statistical_outliers(pts, nb_neighbors=10, std_ratio=2.0)
+    assert len(out) <= 200
+    assert not np.any(np.all(np.isclose(out, outlier), axis=1))
+
+
+def test_z_percentile_filter():
+    pts = np.stack([np.zeros(100), np.zeros(100), np.arange(100.0)], 1)
+    out = z_percentile_filter(pts, 0.9)
+    assert out[:, 2].max() < 89.5
+
+
+def test_crop_bbox():
+    pts = np.array([[0, 0, 0], [2, 0, 0], [0.5, 0.5, 0.5]], np.float32)
+    out = crop_bbox(pts, np.array([[-1, 1], [-1, 1], [-1, 1]]))
+    assert len(out) == 2
+
+
+def test_fuse_views_reconstructs_points():
+    """Points rendered to depth from 2 cameras and fused back should lie near
+    the originals."""
+    cams = make_multiview_cameras(n=2, cam_dis=0.9, cam_height=1.2,
+                                  width=320, height=320, frame="z_down")
+    rng = np.random.RandomState(1)
+    pts = np.stack([rng.uniform(-0.15, 0.15, 300),
+                    rng.uniform(-0.15, 0.15, 300),
+                    rng.uniform(-0.05, -0.01, 300)], 1).astype(np.float32)
+    depths = [c.render_depth(pts, table_axis=2) for c in cams]
+    fused = fuse_views(depths, [c.R for c in cams], [c.t for c in cams],
+                       [c.intr for c in cams], stride=1, depth_range=(0.0, 5.0))
+    fused = crop_bbox(fused, np.array([[-0.6, 0.6], [-0.6, 0.6], [-0.5, -0.005]]))
+    assert len(fused) > 100
+    # every fused point is near some source point (splat radius ~2px)
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(pts).query(fused)
+    assert np.percentile(d, 90) < 0.02
+
+
+def test_obs_to_sim_roundtrip():
+    rng = np.random.RandomState(2)
+    sim_pts = rng.randn(40, 3).astype(np.float32)
+    board = sim_to_board(sim_pts, 10.0)
+    back = obs_to_sim_coords(board, 10.0)
+    np.testing.assert_allclose(back, sim_pts, rtol=1e-5, atol=1e-6)
+
+
+def test_construct_graph_shapes():
+    rng = np.random.RandomState(3)
+    pts = rng.randn(500, 3).astype(np.float32)
+    g = construct_graph(pts, fps_radius=0.2, max_nobj=50, max_neef=4,
+                        rng=np.random.RandomState(0))
+    assert g["state"].shape == (54, 3)
+    n = len(g["obj_state_raw"])
+    assert 0 < n <= 50
+    assert g["state_mask"][:n].all() and not g["state_mask"][n:50].any()
+
+
+@pytest.mark.skipif(
+    not __import__("adaptigraph_tpu.sim.engine", fromlist=["_load"]),
+    reason="sim engine unavailable")
+def test_sim_real_env_end_to_end():
+    """Closed perception loop vs ground truth: perceived sim-frame state must
+    lie near the simulator's particles (one-sided Chamfer)."""
+    env = SimRealEnv("rope", seed=0, img_size=480)
+    pm = PerceptionModule(stride=2)
+    state_cur, obj_kps = get_state_cur(env, pm, fps_radius=0.05,
+                                       sim_real_ratio=10.0, use_raw=True,
+                                       rng=np.random.RandomState(0))
+    gt = env.get_particles_sim()
+    assert len(state_cur) > 5
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(gt).query(state_cur)
+    assert np.percentile(d, 90) < 0.35, (len(state_cur), np.percentile(d, 90))
+    # pushing through the env moves the perceived state
+    env.step([-0.05, 0.0, 0.05, 0.0])
+    state2, _ = get_state_cur(env, pm, fps_radius=0.05, sim_real_ratio=10.0,
+                              use_raw=True, rng=np.random.RandomState(0))
+    assert len(state2) > 5
