@@ -1,0 +1,324 @@
+"""Command-line entry points.
+
+Mirrors the reference's argparse mains (reference: SURVEY.md §1 entry
+points — ``src/sim/data_gen/data_gen.py:175``, ``src/dynamics/preprocess/
+preprocess.py:364``, ``src/dynamics/train/train.py:164``, ``src/dynamics/
+rollout/rollout.py:516``, ``src/planning/plan.py:341``,
+``src/planning/random_interact.py:298``, ``src/planning/demo/
+demo_granular_1.py:13``) as one ``python -m adaptigraph_tpu`` tool with
+subcommands::
+
+    python -m adaptigraph_tpu datagen  --material rope --data_dir data/sim/rope
+    python -m adaptigraph_tpu preprocess --config rope
+    python -m adaptigraph_tpu train      --config rope
+    python -m adaptigraph_tpu rollout    --config rope --out_dir runs/rope
+    python -m adaptigraph_tpu plan       --config rope --save_dir runs/plan
+    python -m adaptigraph_tpu random-interact --config rope
+    python -m adaptigraph_tpu demo-ppo   --config granular --load_dir fixtures/
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# config -> framework objects
+# ---------------------------------------------------------------------------
+
+def _dyn_objects(config):
+    """dynamics config dict -> (spec, gnn_cfg, edge_cfg, hyper)."""
+    from adaptigraph_tpu.dynamics.dataset import spec_from_config
+    from adaptigraph_tpu.dynamics.train import TrainHyper
+    from adaptigraph_tpu.models.gnn import model_config_from_yaml
+    from adaptigraph_tpu.ops.graph import EdgeConfig
+
+    spec = spec_from_config(config)
+    gnn_cfg = model_config_from_yaml(config)
+    ds = config["dataset_config"]["datasets"][0]
+    edge_cfg = EdgeConfig(
+        max_nobj=spec.max_nobj, max_neef=spec.max_neef, topk=spec.topk,
+        policy="tools_all" if ds.get("connect_tool_all") else "none",
+    )
+    tc = config["train_config"]
+    rand = config["dataset_config"].get("randomness", {})
+    hyper = TrainHyper(
+        n_future=spec.n_future,
+        batch_size=tc.get("batch_size", 128),
+        n_epochs=tc.get("n_epochs", 100),
+        n_iters_train=tc.get("n_iters_per_epoch", 1000),
+        n_iters_valid=tc.get("n_iters_per_epoch_valid", 100),
+        lr=float(tc.get("lr", 1e-3)),
+        use_augmentation=rand.get("use", True),
+        state_noise_train=rand.get("state_noise", {}).get("train", 0.05),
+        state_noise_valid=rand.get("state_noise", {}).get("valid", 0.0),
+        store_rest_state=spec.store_rest_state,
+    )
+    return spec, gnn_cfg, edge_cfg, hyper
+
+
+def _task_objects(task):
+    """planning task config -> (TaskConfig, dynamics config objects)."""
+    from adaptigraph_tpu.planning.closed_loop import TaskConfig
+    from adaptigraph_tpu.planning.forward import DynamicsConfig
+    from adaptigraph_tpu.planning.mppi_solve import MPPIConfig
+
+    config = task["_dynamics_config"]
+    spec, gnn_cfg, edge_cfg, _ = _dyn_objects(config)
+    dcfg = DynamicsConfig(
+        gnn=gnn_cfg, edge=edge_cfg, n_his=task.get("n_his", spec.n_his),
+        push_length=task.get("push_length", 0.1),
+        sim_real_ratio=task.get("sim_real_ratio", 10.0),
+        max_repeat=int(np.ceil(task["action_upper_lim"][3])),
+        pusher_offsets=tuple(task.get("pusher_points", [])) or (),
+        gripper_enable=task.get("gripper_enable", False),
+        adj_thresh=task.get("adj_thresh", 0.5),
+    )
+    mcfg = MPPIConfig(
+        n_sample=task.get("n_sample", 20000),
+        n_sample_chunk=task.get("n_sample_chunk", 2000),
+        n_look_ahead=task.get("n_look_ahead", 1),
+        n_update_iter=task.get("n_update_iter", 1),
+        reward_weight=task.get("reward_weight", 500.0),
+        noise_level=task.get("noise_level", 1.0),
+        push_length=task.get("push_length", 0.1),
+    )
+    tcfg = TaskConfig(
+        dcfg=dcfg, mcfg=mcfg,
+        action_lower_lim=np.asarray(task["action_lower_lim"], np.float32),
+        action_upper_lim=np.asarray(task["action_upper_lim"], np.float32),
+        n_actions=task.get("n_actions", 10),
+        penalty_type=task.get("penalty_type", "none"),
+        target_type=task.get("target_type", "pcd"),
+        fps_radius=task.get("fps_radius", 0.2),
+        sim_real_ratio=task.get("sim_real_ratio", 10.0),
+    )
+    return tcfg, config
+
+
+def _phys_specs(config):
+    material = config["dataset_config"]["materials"][0]
+    return config["material_config"][material]["physics_params"]
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+def cmd_datagen(args):
+    from adaptigraph_tpu.sim.datagen import generate
+
+    bad = generate(args.data_dir, args.material, args.n_episodes,
+                   n_pushes=args.n_pushes, n_workers=args.n_workers,
+                   seed=args.seed)
+    print(f"generated {args.n_episodes} episodes ({len(bad)} bad) -> {args.data_dir}")
+
+
+def cmd_preprocess(args):
+    from adaptigraph_tpu.dynamics.preprocess import preprocess
+    from adaptigraph_tpu.utils.config import load_dynamics_config
+
+    config = load_dynamics_config(args.config)
+    dc = config["dataset_config"]
+    data_dir = args.data_dir or os.path.join(dc["data_dir"], dc["data_name"])
+    prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
+    n = preprocess(
+        data_dir, prep_dir, np.asarray(dc["eef"]["pos"], np.float32),
+        dc["n_his"], dc["n_future"], dc["dist_thresh"], _phys_specs(config),
+        store_rest_state=dc.get("store_rest_state", False),
+    )
+    print(f"preprocessed {n} episodes -> {prep_dir}")
+
+
+def cmd_train(args):
+    import jax
+
+    from adaptigraph_tpu.dynamics.dataset import BatchLoader, DynDataset
+    from adaptigraph_tpu.dynamics.train import train
+    from adaptigraph_tpu.utils.config import load_dynamics_config
+
+    config = load_dynamics_config(args.config)
+    spec, gnn_cfg, edge_cfg, hyper = _dyn_objects(config)
+    import dataclasses
+    over = {}
+    if args.epochs:
+        over["n_epochs"] = args.epochs
+    if args.iters:
+        over["n_iters_train"] = args.iters
+        over["n_iters_valid"] = max(1, args.iters // 10)
+    if args.batch_size:
+        over["batch_size"] = args.batch_size
+    if over:
+        hyper = dataclasses.replace(hyper, **over)
+    dc = config["dataset_config"]
+    prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
+    out_dir = args.out_dir or config["train_config"]["out_dir"]
+    ratio = dc["ratio"]
+    tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size)
+    va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size)
+
+    mesh = None
+    if args.n_devices > 1:
+        from adaptigraph_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.n_devices)
+    params, curves = train(gnn_cfg, edge_cfg, hyper, tr, va, out_dir, mesh=mesh)
+    print(f"trained: final valid loss {curves['valid'][-1]:.6f} -> {out_dir}")
+
+
+def cmd_rollout(args):
+    from adaptigraph_tpu.dynamics.rollout import rollout_dataset
+    from adaptigraph_tpu.utils.checkpoint import load_checkpoint
+    from adaptigraph_tpu.utils.config import load_dynamics_config
+
+    config = load_dynamics_config(args.config)
+    spec, gnn_cfg, edge_cfg, _ = _dyn_objects(config)
+    dc = config["dataset_config"]
+    prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
+    out_dir = args.out_dir or config["train_config"]["out_dir"]
+    params = load_checkpoint(out_dir, epoch=args.epoch)
+    stats = rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir,
+                            out_dir=os.path.join(out_dir, "rollout"))
+    med = stats["median"]
+    print(f"rollout: {len(stats.get('per_push', []))} pushes, "
+          f"median error @last step {med[-1] if len(med) else float('nan'):.5f}")
+
+
+def _load_plan_params(args, tcfg):
+    import jax
+
+    from adaptigraph_tpu.models.gnn import init_params
+    from adaptigraph_tpu.utils.checkpoint import load_checkpoint
+
+    if args.ckpt_dir:
+        return load_checkpoint(args.ckpt_dir, epoch=args.epoch)
+    print("WARNING: no --ckpt_dir, using random init (smoke mode)")
+    return init_params(jax.random.PRNGKey(0), tcfg.dcfg.gnn)
+
+
+def cmd_plan(args):
+    from adaptigraph_tpu.planning.closed_loop import run_plan
+    from adaptigraph_tpu.realworld.env import SimRealEnv
+    from adaptigraph_tpu.utils.config import load_planning_config
+
+    task = load_planning_config(args.config)
+    tcfg, config = _task_objects(task)
+    if args.n_actions:
+        tcfg.n_actions = args.n_actions
+    material = config["dataset_config"]["materials"][0]
+    env = SimRealEnv(material, seed=args.seed, sim_real_ratio=tcfg.sim_real_ratio)
+    params = _load_plan_params(args, tcfg)
+    if args.target:
+        target = np.load(args.target)
+        target = target[target.files[0]] if hasattr(target, "files") else target
+    else:
+        # default smoke target: current object translated
+        target = env.get_particles_sim() + np.array([0.5, 0.0, 0.3], np.float32)
+    hist = run_plan(env, params, tcfg, target, save_dir=args.save_dir,
+                    seed=args.seed, use_ppo=not args.no_ppo)
+    print(f"plan done: errors {['%.4f' % e for e in hist['errors']]}")
+
+
+def cmd_random_interact(args):
+    from adaptigraph_tpu.planning.closed_loop import run_random_interact
+    from adaptigraph_tpu.realworld.env import SimRealEnv
+    from adaptigraph_tpu.utils.config import load_planning_config
+
+    task = load_planning_config(args.config)
+    tcfg, config = _task_objects(task)
+    material = config["dataset_config"]["materials"][0]
+    env = SimRealEnv(material, seed=args.seed, sim_real_ratio=tcfg.sim_real_ratio)
+    params = _load_plan_params(args, tcfg)
+    ppo = run_random_interact(env, params, tcfg, save_dir=args.save_dir,
+                              seed=args.seed, n_actions=args.n_actions or 20)
+    est, err, err0 = ppo.optimize(iterations=50)
+    print(f"random-interact done: physics estimate {est} (err {err:.5f} <- {err0:.5f})")
+
+
+def cmd_demo_ppo(args):
+    """Replay recorded interaction fixtures through the physics-param
+    optimizer (reference: demo_granular_1.py — expected estimate ~0.04 for
+    the released granular fixture)."""
+    from adaptigraph_tpu.planning.physics_optimizer import PhysicsParamOnlineOptimizer
+    from adaptigraph_tpu.utils.config import load_planning_config
+
+    task = load_planning_config(args.config)
+    tcfg, _ = _task_objects(task)
+    params = _load_plan_params(args, tcfg)
+    ppo = PhysicsParamOnlineOptimizer(tcfg.dcfg, params,
+                                      phys_dim=tcfg.dcfg.gnn.phys_dim)
+    ppo.load_interactions(args.load_dir)
+    est, err, err0 = ppo.optimize(iterations=args.iterations)
+    print(f"physics estimate: {est} (error {err:.5f} <- init {err0:.5f})")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="adaptigraph_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("datagen", help="generate simulation episodes")
+    d.add_argument("--material", required=True)
+    d.add_argument("--data_dir", required=True)
+    d.add_argument("--n_episodes", type=int, default=10)
+    d.add_argument("--n_pushes", type=int, default=5)
+    d.add_argument("--n_workers", type=int, default=1)
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=cmd_datagen)
+
+    pr = sub.add_parser("preprocess", help="episodes -> training artifacts")
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--data_dir")
+    pr.add_argument("--prep_dir")
+    pr.set_defaults(fn=cmd_preprocess)
+
+    t = sub.add_parser("train", help="train the GNN dynamics model")
+    t.add_argument("--config", required=True)
+    t.add_argument("--prep_dir")
+    t.add_argument("--out_dir")
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--iters", type=int, help="train iters per epoch override")
+    t.add_argument("--batch_size", type=int)
+    t.add_argument("--n_devices", type=int, default=1)
+    t.set_defaults(fn=cmd_train)
+
+    r = sub.add_parser("rollout", help="autoregressive rollout evaluation")
+    r.add_argument("--config", required=True)
+    r.add_argument("--prep_dir")
+    r.add_argument("--out_dir")
+    r.add_argument("--epoch", type=int)
+    r.set_defaults(fn=cmd_rollout)
+
+    pl = sub.add_parser("plan", help="closed-loop MPC on the sim-backed env")
+    pl.add_argument("--config", required=True)
+    pl.add_argument("--ckpt_dir")
+    pl.add_argument("--epoch", type=int)
+    pl.add_argument("--target", help="npz/npy target point cloud (sim frame)")
+    pl.add_argument("--save_dir")
+    pl.add_argument("--n_actions", type=int)
+    pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--no_ppo", action="store_true")
+    pl.set_defaults(fn=cmd_plan)
+
+    ri = sub.add_parser("random-interact", help="exploration for system ID")
+    ri.add_argument("--config", required=True)
+    ri.add_argument("--ckpt_dir")
+    ri.add_argument("--epoch", type=int)
+    ri.add_argument("--save_dir")
+    ri.add_argument("--n_actions", type=int)
+    ri.add_argument("--seed", type=int, default=0)
+    ri.set_defaults(fn=cmd_random_interact)
+
+    dp = sub.add_parser("demo-ppo", help="physics-param demo on recorded fixtures")
+    dp.add_argument("--config", required=True)
+    dp.add_argument("--load_dir", required=True)
+    dp.add_argument("--ckpt_dir")
+    dp.add_argument("--epoch", type=int)
+    dp.add_argument("--iterations", type=int, default=50)
+    dp.set_defaults(fn=cmd_demo_ppo)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

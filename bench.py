@@ -71,7 +71,8 @@ def bench_mppi(n_solves=5):
     params = init_params(jax.random.PRNGKey(0), GNN)
     state = jnp.asarray(rope_state(rng))
     target = jnp.asarray(rope_state(rng) + np.asarray([0.5, 0.0, 0.3], np.float32))
-    solve = make_mppi_solver(DCFG, MCFG, make_reward(target), LOWER, UPPER)
+    solve = make_mppi_solver(DCFG, MCFG, make_reward(target), LOWER, UPPER,
+                             use_fused=True)
     act0 = jnp.asarray(np.array([[-2.0, 1.0, 0.5, 8.0]], np.float32))
     phys = jnp.asarray([0.5])
 

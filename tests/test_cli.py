@@ -1,0 +1,83 @@
+"""CLI smoke tests: the subcommand pipeline wiring (datagen -> preprocess ->
+train -> rollout; demo-ppo) with tiny budgets, mirroring the reference's
+entry-point scripts."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import adaptigraph_tpu.cli as cli
+from adaptigraph_tpu.utils.config import load_dynamics_config
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory, monkeypatch_module=None):
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = str(root / "sim")
+    prep_dir = str(root / "prep")
+    cli.main(["datagen", "--material", "rope", "--data_dir", data_dir,
+              "--n_episodes", "2", "--n_pushes", "2", "--seed", "0"])
+    cli.main(["preprocess", "--config", "rope", "--data_dir", data_dir,
+              "--prep_dir", prep_dir])
+    return root, data_dir, prep_dir
+
+
+def test_datagen_preprocess(tiny_run):
+    root, data_dir, prep_dir = tiny_run
+    assert os.path.isdir(os.path.join(data_dir, "000000"))
+    assert os.path.exists(os.path.join(prep_dir, "episodes", "000000.npz"))
+    assert os.path.exists(os.path.join(prep_dir, "physics.npz"))
+
+
+def test_train_rollout_cli(tiny_run):
+    root, data_dir, prep_dir = tiny_run
+    out_dir = str(root / "run")
+    cli.main(["train", "--config", "rope", "--prep_dir", prep_dir,
+              "--out_dir", out_dir, "--epochs", "1", "--iters", "3",
+              "--batch_size", "4"])
+    assert os.path.exists(os.path.join(out_dir, "checkpoints", "latest.npz"))
+    cli.main(["rollout", "--config", "rope", "--prep_dir", prep_dir,
+              "--out_dir", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "rollout", "rollout_errors.npz"))
+
+
+def test_demo_ppo_cli(tmp_path, capsys):
+    """Record tiny fixtures with a known param and replay them through the
+    demo-ppo subcommand (reference demo_granular_1 contract)."""
+    import jax
+
+    from adaptigraph_tpu.planning.physics_optimizer import PhysicsParamOnlineOptimizer
+    from adaptigraph_tpu.utils.config import load_planning_config
+    from adaptigraph_tpu.planning.forward import dynamics_masked
+
+    task = load_planning_config("rope")
+    tcfg, _ = cli._task_objects(task)
+    # shrink the model for speed
+    gnn = dataclasses.replace(tcfg.dcfg.gnn, nf_particle=16, nf_relation=16,
+                              nf_effect=16, pstep=2, max_nobj=20)
+    edge = dataclasses.replace(tcfg.dcfg.edge, max_nobj=20, topk=5)
+    dcfg = dataclasses.replace(tcfg.dcfg, gnn=gnn, edge=edge, max_repeat=3)
+
+    from adaptigraph_tpu.models.gnn import init_params
+    params = init_params(jax.random.PRNGKey(0), gnn)
+    ppo = PhysicsParamOnlineOptimizer(dcfg, params, phys_dim=1,
+                                      save_dir=str(tmp_path))
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        n = 15
+        st = rng.randn(n, 3).astype(np.float32) * 0.3
+        act = np.array([-1.0, 0.0, 0.0, 2.0], np.float32)
+        sp = np.zeros((20, 3), np.float32)
+        sp[:n] = st
+        m = np.zeros(20, bool)
+        m[:n] = True
+        real = dynamics_masked(params, sp[None], m[None], act[None],
+                               np.asarray([[0.3]], np.float32), dcfg)[0]
+        ppo.add_interaction(act, st, np.asarray(real)[:n], np.asarray(real)[:n])
+
+    ppo2 = PhysicsParamOnlineOptimizer(dcfg, params, phys_dim=1)
+    ppo2.load_interactions(str(tmp_path))
+    est, err, err0 = ppo2.optimize(iterations=10)
+    assert err <= err0 + 1e-9

@@ -1,0 +1,71 @@
+"""Closed-loop MPC machinery on the sim-backed env (tiny budgets, CPU):
+perceive -> MPPI -> act -> record -> physics adaptation, hardware-free."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+from adaptigraph_tpu.ops.graph import EdgeConfig
+from adaptigraph_tpu.planning.closed_loop import (
+    TaskConfig,
+    run_plan,
+    run_random_interact,
+    sim_action_to_board,
+)
+from adaptigraph_tpu.planning.forward import DynamicsConfig
+from adaptigraph_tpu.planning.mppi_solve import MPPIConfig
+from adaptigraph_tpu.realworld.env import SimRealEnv
+
+GNN = GNNConfig(n_his=2, max_nobj=20, max_neef=1, nf_particle=16,
+                nf_relation=16, nf_effect=16, pstep=2)
+DCFG = DynamicsConfig(gnn=GNN, edge=EdgeConfig(max_nobj=20, max_neef=1, topk=5),
+                      n_his=2, push_length=0.1, max_repeat=3, adj_thresh=0.8)
+MCFG = MPPIConfig(n_sample=8, n_sample_chunk=4, n_look_ahead=1,
+                  n_update_iter=1, reward_weight=50.0)
+LOWER = np.asarray([-3.0, -3.0, -np.pi, 1.0], np.float32)
+UPPER = np.asarray([3.0, 3.0, np.pi, 3.0], np.float32)
+
+
+def make_task(**kw):
+    return TaskConfig(dcfg=DCFG, mcfg=MCFG, action_lower_lim=LOWER,
+                      action_upper_lim=UPPER, n_actions=2, fps_radius=0.35,
+                      use_fused=False, ppo_iterations=6, **kw)
+
+
+def test_sim_action_to_board_roundtrip():
+    act = np.array([1.0, -0.5, 0.3, 2.0], np.float32)
+    b = sim_action_to_board(act, 10.0)
+    # start point maps back exactly; push direction matches theta
+    np.testing.assert_allclose(b[:2] * 10.0, act[:2], rtol=1e-5)
+    d = np.array([b[2] - b[0], b[3] - b[1]])
+    np.testing.assert_allclose(np.arctan2(-d[1], -d[0]), act[2], atol=1e-4)
+
+
+def test_run_plan_closed_loop(tmp_path):
+    env = SimRealEnv("rope", seed=0, img_size=320)
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    target = env.get_particles_sim().mean(0)[None] + np.array(
+        [[0.3, 0.0, 0.2]], np.float32)
+    task = make_task()
+    hist = run_plan(env, params, task, target, save_dir=str(tmp_path),
+                    seed=0, use_ppo=True, verbose=False)
+    assert len(hist["errors"]) == 2
+    assert all(np.isfinite(hist["errors"]))
+    assert hist["final_phys"] is not None and hist["final_phys"].shape == (1,)
+    import os
+    assert os.path.exists(tmp_path / "step_000.npz")
+    assert os.path.exists(tmp_path / "interaction_000.npz")
+    assert os.path.exists(tmp_path / "ppo_1.npz")
+
+
+def test_run_random_interact(tmp_path):
+    env = SimRealEnv("granular", seed=1, img_size=320)
+    params = init_params(jax.random.PRNGKey(1), GNN)
+    task = make_task(penalty_type="granular")
+    ppo = run_random_interact(env, params, task, save_dir=str(tmp_path),
+                              seed=1, n_actions=2, verbose=False)
+    assert len(ppo._interactions) == 2
+    est, err, err0 = ppo.optimize(iterations=6)
+    assert np.isfinite(err) and est.shape == (1,)

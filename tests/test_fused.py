@@ -74,3 +74,15 @@ def test_fused_per_particle_physics():
     got_pos, _ = fused_forward_batch(params, graphs, CFG,
                                      compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got_pos), np.asarray(want_pos), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_multi_sample_block_and_k_used():
+    """S>1 blocks and k_used slot compaction must not change results."""
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    graphs = make_batch(B=8, seed=5)
+    want_pos, want_mot = forward_batch(params, graphs, CFG)
+    got_pos, got_mot = fused_forward_batch(
+        params, graphs, CFG, compute_dtype=jnp.float32, interpret=True,
+        samples_per_block=4, k_used=ECFG.topk + ECFG.max_neef)
+    np.testing.assert_allclose(np.asarray(got_pos), np.asarray(want_pos), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_mot), np.asarray(want_mot), rtol=2e-4, atol=2e-4)

@@ -144,3 +144,57 @@ def test_checkpoint_roundtrip(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), params, loaded
     )
+
+
+def test_filter_flags_artifacts(tmp_path):
+    """Inject a drifted push and a NaN push; the filter must flag exactly
+    those (reference: filter_sim_data.py drift rule)."""
+    import json
+
+    from adaptigraph_tpu.sim import io as sim_io
+    from adaptigraph_tpu.sim.filter import filter_dataset, load_filter_file
+
+    epi = tmp_path / "000000"
+    epi.mkdir()
+    rng = np.random.RandomState(0)
+    rest = rng.randn(30, 3).astype(np.float32) * 0.1
+    # smooth small motion across frames (a real push displaces gradually)
+    base = rest[None] + np.linspace(0, 0.05, 4)[:, None, None].astype(np.float32)
+    eef = np.zeros((4, 1, 14), np.float32)
+    # push 1: clean
+    sim_io.store_episode_step(str(epi / "00.h5"), base, eef, np.zeros(4))
+    # push 2: drifted (penultimate frame far from rest)
+    drifted = base.copy()
+    drifted[-2] += 5.0
+    sim_io.store_episode_step(str(epi / "01.h5"), drifted, eef, np.zeros(4))
+    # push 3: NaN
+    bad = base.copy()
+    bad[1, 0, 0] = np.nan
+    sim_io.store_episode_step(str(epi / "02.h5"), bad, eef, np.zeros(4))
+    sim_io.store_properties(str(epi), {"stiffness": 0.5})
+
+    res = filter_dataset(str(tmp_path))
+    assert res == {"000000": [2, 3]}
+    ff = load_filter_file(str(tmp_path / "filter_artifacts.json"))
+    assert ff == {"000000": [2, 3]}
+
+
+def test_box2d_sim(tmp_path):
+    """2D box pushing: the pusher must displace the box, off-center COM must
+    rotate it, and the episode writer must produce the keypoint schema."""
+    from adaptigraph_tpu.sim.box2d import BoxSim, gen_box_episode
+
+    sim = BoxSim(100.0, 60.0, center_of_mass=(20.0, 0.0))
+    c0 = sim.get_corners().copy()
+    sim.set_pusher(np.array([25.0, 80.0]))  # off the COM axis -> torque
+    for t in range(30):
+        sim.update(np.array([25.0, 80.0 - 3.0 * t]))
+    c1 = sim.get_corners()
+    assert np.abs(c1 - c0).max() > 1.0  # pushed
+    assert abs(sim.theta) > 1e-3  # off-center COM rotates
+
+    corners, states = gen_box_episode(str(tmp_path), 0, n_steps=40)
+    assert corners.shape == (40, 4, 2)
+    assert np.isfinite(corners).all()
+    import os
+    assert os.path.exists(tmp_path / "000000.npz")

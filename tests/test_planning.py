@@ -184,3 +184,23 @@ def test_dynamics_masked_batched_physics():
     assert np.isfinite(np.asarray(out)).all()
     # different physics candidates must give different predictions
     assert np.abs(np.asarray(out[0]) - np.asarray(out[1])).max() > 1e-7
+
+
+def test_dynamics_rollout_batched_matches_vmapped():
+    """Batch-level rollout (the fused-kernel host path) must reproduce the
+    vmapped per-sample rollout exactly in f32."""
+    from adaptigraph_tpu.planning.forward import dynamics_rollout_batched
+
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    rng = np.random.RandomState(4)
+    state = jnp.asarray(rng.randn(20, 3).astype(np.float32) * 0.3)
+    acts = jnp.asarray(
+        np.stack([[[-0.5, 0.0, 0.3, 2.0]], [[0.2, -0.1, 1.0, 3.0]],
+                  [[0.0, 0.3, -0.7, 1.0]], [[0.4, 0.4, 2.0, 3.0]]]).astype(np.float32))
+    want = dynamics_rollout(params, state, acts, jnp.asarray([0.5]), DCFG)
+    got = dynamics_rollout_batched(params, state, acts, jnp.asarray([0.5]), DCFG,
+                                   use_fused=False, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got["state_seqs"]),
+                               np.asarray(want["state_seqs"]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["action_seqs"]),
+                               np.asarray(want["action_seqs"]), rtol=1e-6)

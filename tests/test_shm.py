@@ -1,0 +1,129 @@
+"""C++ shared-memory ring buffer: correctness, torn-read protection under a
+fast writer, and the multi-process camera tier."""
+
+import multiprocessing as mp
+import time
+
+import numpy as np
+import pytest
+
+from adaptigraph_tpu.realworld.shm import ShmRingBuffer, align_timestamps
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _build():
+    from adaptigraph_tpu.realworld.shm import _load
+
+    _load()
+
+
+def test_put_get_roundtrip():
+    r = ShmRingBuffer("/agtpu_test_rt", (4, 3), np.float32, capacity=8, create=True)
+    try:
+        for i in range(5):
+            r.put(np.full((4, 3), i, np.float32), 100.0 + i)
+        assert r.count == 5
+        f, ts = r.get(0)
+        assert ts == 104.0 and f[0, 0] == 4.0
+        f, ts = r.get(2)
+        assert ts == 102.0 and f[0, 0] == 2.0
+        frames, tss = r.get_last_k(3)
+        np.testing.assert_allclose(tss, [102.0, 103.0, 104.0])
+        np.testing.assert_allclose(frames[:, 0, 0], [2.0, 3.0, 4.0])
+    finally:
+        r.close()
+
+
+def test_wraparound():
+    r = ShmRingBuffer("/agtpu_test_wrap", (2,), np.float32, capacity=4, create=True)
+    try:
+        for i in range(10):
+            r.put(np.full(2, i, np.float32), float(i))
+        frames, tss = r.get_last_k(8)  # only capacity=4 retained
+        assert len(frames) == 4
+        np.testing.assert_allclose(tss, [6.0, 7.0, 8.0, 9.0])
+        assert r.get(4) is None  # lapped
+    finally:
+        r.close()
+
+
+def test_open_existing_and_shape_check():
+    r = ShmRingBuffer("/agtpu_test_open", (3,), np.float32, capacity=4, create=True)
+    try:
+        r.put(np.ones(3, np.float32), 1.0)
+        r2 = ShmRingBuffer("/agtpu_test_open", (3,), np.float32, create=False)
+        f, ts = r2.get()
+        assert ts == 1.0
+        r2.close()
+        with pytest.raises(ValueError):
+            ShmRingBuffer("/agtpu_test_open", (4,), np.float32, create=False)
+    finally:
+        r.close()
+
+
+def _writer_proc(name, n_frames, shape):
+    r = ShmRingBuffer(name, shape, np.float32, capacity=8, create=True)
+    try:
+        for i in range(n_frames):
+            # every element of frame i equals i: a torn read would mix values
+            r.put(np.full(shape, i, np.float32), float(i))
+        time.sleep(1.0)  # keep the segment alive for the reader
+    finally:
+        r.close()
+
+
+def test_no_torn_reads_across_processes():
+    name = "/agtpu_test_torn"
+    shape = (64, 64)
+    p = mp.Process(target=_writer_proc, args=(name, 3000, shape), daemon=True)
+    p.start()
+    # attach as soon as the segment exists
+    r = None
+    deadline = time.time() + 10
+    while r is None and time.time() < deadline:
+        try:
+            r = ShmRingBuffer(name, shape, np.float32, create=False)
+        except OSError:
+            time.sleep(0.005)
+    assert r is not None
+    reads = 0
+    try:
+        while p.is_alive() and reads < 5000:
+            got = r.get(0)
+            if got is None:
+                continue
+            f, ts = got
+            # frame must be uniform (all elements the same value)
+            assert f.min() == f.max(), "torn read detected"
+            assert f.flat[0] == ts
+            reads += 1
+    finally:
+        r.close()
+        p.join(timeout=10)
+    assert reads > 100
+
+
+def test_align_timestamps():
+    idx = align_timestamps([[0.0, 0.1, 0.2], [0.05, 0.15], []], 0.12)
+    assert idx == [1, 1, -1]
+
+
+def test_multicamera_tier():
+    from adaptigraph_tpu.realworld.camera import MultiCamera
+    from adaptigraph_tpu.realworld.cameras import make_multiview_cameras
+
+    cams = make_multiview_cameras(n=2, cam_dis=0.9, cam_height=1.2, width=64,
+                                  height=64, frame="z_down")
+    pts = np.random.RandomState(0).uniform(-0.1, 0.1, (50, 3)).astype(np.float32)
+    pts[:, 2] = -np.abs(pts[:, 2])
+    mc = MultiCamera(cams, pts, fps=60.0, prefix="agtpu_test_mc")
+    mc.start()
+    try:
+        obs = mc.get_obs(k=4)
+        assert obs["depth_0"].shape == (64, 64)
+        assert obs["depth_1"].shape == (64, 64)
+        assert np.isfinite(obs["depth_0"]).all()
+        # aligned timestamps should be close across cameras
+        assert abs(obs["timestamp_0"] - obs["timestamp_1"]) < 0.5
+    finally:
+        mc.stop()
