@@ -59,7 +59,7 @@ def _supports(cfg: GNNConfig):
     )
 
 
-def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S,
+def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
             p_inputs_ref, state_norm_ref, attrs_ref, g_ref, nbr_ref, mask_ref,
             last_state_ref,
             pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
@@ -94,11 +94,58 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S,
             axis=0,
         ) if S > 1 else jnp.concatenate([x] * K, axis=0)
 
-    # ---- per-sample one-hot sender matrices (K*Np, Np) ----
-    col = jax.lax.broadcasted_iota(jnp.int32, (KN, Np), 1)
-    ohs = [
-        (nbr_ref[0, s * KN:(s + 1) * KN] == col).astype(cd) for s in range(S)
-    ]
+    # ---- per-sample one-hot sender matrices (K*Np, Np) + edge masks ----
+    if edge_build is None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (KN, Np), 1)
+        ohs = [
+            (nbr_ref[0, s * KN:(s + 1) * KN] == col).astype(cd) for s in range(S)
+        ]
+        mask = mask_ref[0].astype(cd)  # (S*K*Np, 1)
+    else:
+        # In-kernel radius∧topk edge construction (semantics of
+        # ops.graph.build_neighbor_graph with policy "none", all object slots
+        # valid — the MPPI rollout case): K == topk slots per receiver, the
+        # slot-k one-hot IS the gather matrix. Ties break to the smallest
+        # sender index, matching lax.top_k on negated distances.
+        # All comparisons stay on full (Np, Np) f32 tiles — Mosaic rejects
+        # compares on (Np, 1)-shaped operands ("Target does not support this
+        # comparison"); narrow results are f32-sliced afterward.
+        topk, adj_thresh, max_nobj, N_real = edge_build
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1).astype(f32)
+        valid_c = (iota_c < N_real).astype(f32)
+        tool_r = (iota_r >= max_nobj).astype(f32) * (iota_r < N_real).astype(f32)
+        tool_c = (iota_c >= max_nobj).astype(f32) * (iota_c < N_real).astype(f32)
+        pair_ok = valid_c * (1.0 - tool_r * tool_c)  # 1 where a real non-tool-tool pair
+        row_valid = (iota_r < N_real).astype(f32)[:, 0:1]  # (Np, 1)
+        BIG = jnp.float32(1e10)
+        thresh = jnp.float32(adj_thresh * adj_thresh)
+        ohs, masks = [], []
+        for s in range(S):
+            xs = last_state_ref[0, s * Np:(s + 1) * Np].astype(f32)  # (Np, 3)
+            D = jnp.zeros((Np, Np), f32)
+            for d in range(3):
+                cd_ = xs[:, d:d + 1]
+                diff = cd_ - cd_.reshape(1, Np)
+                D = D + diff * diff
+            D = D * pair_ok + (1.0 - pair_ok) * BIG
+            oh_rows, mk_rows = [], []
+            for _k in range(topk):
+                m = jnp.min(D, axis=1, keepdims=True)  # (Np, 1)
+                mb = jnp.broadcast_to(m, (Np, Np))
+                cand = (D <= mb).astype(f32)
+                # first minimal column: min over candidate column indices
+                idx = jnp.min(iota_c * cand + (1.0 - cand) * Np, axis=1,
+                              keepdims=True)
+                oh = (iota_c == jnp.broadcast_to(idx, (Np, Np))).astype(cd)
+                ok2 = ((mb < thresh).astype(f32) *
+                       (mb < BIG * 0.5).astype(f32))[:, 0:1]  # (Np, 1)
+                mk_rows.append(ok2 * row_valid)
+                oh_rows.append(oh)
+                D = D + oh.astype(f32) * BIG
+            ohs.append(jnp.concatenate(oh_rows, axis=0))   # (K*Np, Np)
+            masks.append(jnp.concatenate(mk_rows, axis=0))  # (K*Np, 1)
+        mask = (jnp.concatenate(masks, axis=0) if S > 1 else masks[0]).astype(cd)
 
     def gather_s(x):  # (S*Np, F') -> (S*K*Np, F')
         outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd) for s in range(S)]
@@ -127,7 +174,6 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S,
     # ---- pstep message passing with hoisted linear terms ----
     rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd)   # (S*K*Np, F)
     part_base = (dot(particle_encode, pp_wa[:]) + pp_b[:]).astype(cd)  # (S*Np, F)
-    mask = mask_ref[0].astype(cd)  # (S*K*Np, 1)
 
     effect = particle_encode
     for _ in range(cfg.pstep):
@@ -156,10 +202,13 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "interpret", "k_used", "samples_per_block"),
+    static_argnames=("cfg", "compute_dtype", "interpret", "k_used",
+                     "samples_per_block", "build_edges", "adj_radius",
+                     "edge_topk"),
 )
 def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat16,
-                        interpret=False, k_used=None, samples_per_block=2):
+                        interpret=False, k_used=None, samples_per_block=2,
+                        build_edges=False, adj_radius=None, edge_topk=None):
     """Batched fused forward. Same graph dict as ``forward_batch`` (leading
     batch dim on every field); returns (pred_pos, motion), (B, max_nobj, 3).
 
@@ -169,6 +218,11 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     samples_per_block: samples fused into one grid program (VMEM working set
       scales linearly; 2 fits rope scale within v5e's 16 MB scoped VMEM —
       S=4 at k_used=16 needs 18.3 MB and is rejected by Mosaic).
+    build_edges: construct the radius∧topk graph INSIDE the kernel from the
+      last state frame (policy "none", all object slots valid — the MPPI
+      rollout case). ``graphs`` then needs no neighbors/nbr_mask; pass
+      ``adj_radius`` (static) and optionally ``edge_topk``. Saves the XLA
+      edge-build pass and the neighbor-table HBM round trip per substep.
     """
     assert _supports(cfg), "config not supported by the fused kernel"
     N = cfg.n_nodes
@@ -176,8 +230,12 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     Np = _round_up(N, 8)
     state = graphs["state"]
     B = state.shape[0]
-    K_stored = graphs["neighbors"].shape[-1]
-    K = min(k_used or K_stored, K_stored)
+    if build_edges:
+        assert adj_radius is not None
+        K = int(edge_topk)
+    else:
+        K_stored = graphs["neighbors"].shape[-1]
+        K = min(k_used or K_stored, K_stored)
     n_his = cfg.n_his
 
     S = samples_per_block
@@ -222,14 +280,19 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     )
     last_state_p = padN(state[:, -1])
 
-    # neighbors/mask -> flat (B, K*Np, 1) in (k, i) row order; padded rows
-    # point at node 0 with mask 0 (node 0's padded gather is masked out)
-    nbr_t = jnp.swapaxes(graphs["neighbors"][..., :K], -1, -2).astype(jnp.int32)  # (B, K, N)
-    mask_t = jnp.swapaxes(graphs["nbr_mask"][..., :K], -1, -2)
-    nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
-    mask_flat = (
-        jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1).astype(jnp.float32)
-    )
+    if build_edges:
+        # dummies keep the ref list uniform; never read by the kernel
+        nbr_flat = jnp.zeros((B, 1, 1), jnp.int32)
+        mask_flat = jnp.zeros((B, 1, 1), jnp.float32)
+    else:
+        # neighbors/mask -> flat (B, K*Np, 1) in (k, i) row order; padded rows
+        # point at node 0 with mask 0 (node 0's padded gather is masked out)
+        nbr_t = jnp.swapaxes(graphs["neighbors"][..., :K], -1, -2).astype(jnp.int32)  # (B, K, N)
+        mask_t = jnp.swapaxes(graphs["nbr_mask"][..., :K], -1, -2)
+        nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
+        mask_flat = (
+            jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1).astype(jnp.float32)
+        )
 
     p = params
     nf = cfg.nf_effect
@@ -263,13 +326,18 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     def wspec(arr):
         return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
+    if build_edges:
+        nbr_in, mask_in = nbr_flat.reshape(nB, S, 1), mask_flat.reshape(nB, S, 1)
+    else:
+        nbr_in = nbr_flat.reshape(nB, S * K * Np, 1)
+        mask_in = mask_flat.reshape(nB, S * K * Np, 1)
     ins = [
         blockS(p_inputs),
         blockS(state_norm_t),
         blockS(attrs_p),
         blockS(g),
-        nbr_flat.reshape(nB, S * K * Np, 1),
-        mask_flat.reshape(nB, S * K * Np, 1),
+        nbr_in,
+        mask_in,
         blockS(last_state_p),
     ]
     in_specs = [block1(x.shape[1:]) for x in ins] + [wspec(x) for x in weights]
@@ -280,7 +348,8 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     )
     out_specs = (block1((S * Np, 3)), block1((S * Np, 3)))
 
-    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K, S)
+    edge_build = (K, float(adj_radius), n_p, N) if build_edges else None
+    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K, S, edge_build)
     pred, motion = pl.pallas_call(
         kernel,
         grid=(nB,),

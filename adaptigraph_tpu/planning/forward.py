@@ -206,12 +206,19 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     p_instance = jnp.broadcast_to(jnp.ones((max_nobj, 1))[None], (B, max_nobj, 1))
     phys = jnp.broadcast_to(physics_param[None], (B,) + physics_param.shape)
 
-    fwd = (
-        (lambda g: fused_forward_batch(params, g, gnn, compute_dtype=compute_dtype,
-                                       k_used=edge.topk + edge.max_neef))
-        if use_fused
-        else (lambda g: forward_batch(params, g, gnn, compute_dtype=compute_dtype))
-    )
+    # policy "none" + all-valid object slots: the kernel can build the
+    # radius∧topk graph itself, skipping the XLA edge pass entirely
+    kernel_edges = use_fused and edge.policy == "none"
+    if kernel_edges:
+        fwd = lambda g: fused_forward_batch(
+            params, g, gnn, compute_dtype=compute_dtype, build_edges=True,
+            adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk)
+    elif use_fused:
+        fwd = lambda g: fused_forward_batch(
+            params, g, gnn, compute_dtype=compute_dtype,
+            k_used=edge.topk + edge.max_neef)
+    else:
+        fwd = lambda g: forward_batch(params, g, gnn, compute_dtype=compute_dtype)
 
     obj = jnp.broadcast_to(state[None], (B, max_nobj, 3))
     outs = []
@@ -228,18 +235,19 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
 
         def substep(carry, ai):
             hist, recorded = carry
-            nbrs, mask = build_neighbor_graph_batch(
-                hist[:, -1], state_mask, eef_mask, cfg.adj_thresh, edge
-            )
             graph = {
                 "state": hist,
                 "attrs": attrs,
-                "neighbors": nbrs,
-                "nbr_mask": mask,
                 "action": action,
                 "p_instance": p_instance,
                 "physics_param": phys,
             }
+            if not kernel_edges:
+                nbrs, mask = build_neighbor_graph_batch(
+                    hist[:, -1], state_mask, eef_mask, cfg.adj_thresh, edge
+                )
+                graph["neighbors"] = nbrs
+                graph["nbr_mask"] = mask
             pred, _ = fwd(graph)
             recorded = jnp.where((repeat[:, li] == ai)[:, None, None], pred, recorded)
             y_cur = jnp.min(pred[..., 1], axis=1)

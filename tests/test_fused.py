@@ -86,3 +86,37 @@ def test_fused_multi_sample_block_and_k_used():
         samples_per_block=4, k_used=ECFG.topk + ECFG.max_neef)
     np.testing.assert_allclose(np.asarray(got_pos), np.asarray(want_pos), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_mot), np.asarray(want_mot), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_in_kernel_edge_build():
+    """build_edges=True must reproduce the XLA edge build + forward exactly
+    (policy none, all object slots valid — the MPPI rollout case)."""
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    B, N = 4, CFG.n_nodes
+    rng = np.random.RandomState(7)
+    state = jnp.asarray(rng.randn(B, 4, N, 3).astype(np.float32) * 0.4)
+    node_mask = jnp.ones((B, N), bool)
+    tool_mask = jnp.zeros((B, N), bool).at[:, CFG.max_nobj:].set(True)
+    adj = 0.6
+    nbrs, mask = build_neighbor_graph_batch(state[:, -1], node_mask, tool_mask,
+                                            adj, ECFG)
+    attrs = jnp.zeros((B, N, 2)).at[:, :CFG.max_nobj, 0].set(1.0).at[:, CFG.max_nobj:, 1].set(1.0)
+    graphs = {
+        "state": state,
+        "attrs": attrs,
+        "neighbors": nbrs,
+        "nbr_mask": mask,
+        "action": jnp.zeros((B, N, 3)).at[:, CFG.max_nobj:].set(0.05),
+        "p_instance": jnp.ones((B, CFG.max_nobj, 1)),
+        "physics_param": jnp.full((B, 1), 0.5),
+    }
+    want_pos, want_mot = forward_batch(params, graphs, CFG)
+    g2 = {k: v for k, v in graphs.items() if k not in ("neighbors", "nbr_mask")}
+    got_pos, got_mot = fused_forward_batch(
+        params, g2, CFG, compute_dtype=jnp.float32, interpret=True,
+        build_edges=True, adj_radius=adj, edge_topk=ECFG.topk,
+        samples_per_block=2)
+    np.testing.assert_allclose(np.asarray(got_pos), np.asarray(want_pos),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_mot), np.asarray(want_mot),
+                               rtol=2e-4, atol=2e-4)
