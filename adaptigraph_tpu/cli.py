@@ -107,12 +107,35 @@ def _phys_specs(config):
 # ---------------------------------------------------------------------------
 
 def cmd_datagen(args):
+    if args.config:
+        from adaptigraph_tpu.utils.config import config_dir, load_yaml
+
+        path = args.config if os.path.exists(args.config) else os.path.join(
+            config_dir(), "data_gen", f"{args.config}.yaml")
+        ds = load_yaml(path)["dataset"]
+        material = args.material or ds["obj"]
+        data_dir = args.data_dir or ds["data_dir"]
+        n_episodes = args.n_episodes or ds["n_episode"]
+        n_pushes = args.n_pushes or ds.get("n_timestep", 5)
+        n_workers = args.n_workers or ds.get("n_worker", 1)
+        seed = ds.get("seed", 0) if args.seed is None else args.seed
+    else:
+        material, data_dir = args.material, args.data_dir
+        n_episodes, n_pushes = args.n_episodes or 10, args.n_pushes or 5
+        n_workers, seed = args.n_workers or 1, args.seed or 0
+    assert material and data_dir, "need --material/--data_dir or --config"
+
+    if material == "box":
+        from adaptigraph_tpu.sim.box2d import gen_box_data
+
+        gen_box_data(data_dir, n_episodes, seed=seed)
+        print(f"generated {n_episodes} box episodes -> {data_dir}")
+        return
     from adaptigraph_tpu.sim.datagen import generate
 
-    bad = generate(args.data_dir, args.material, args.n_episodes,
-                   n_pushes=args.n_pushes, n_workers=args.n_workers,
-                   seed=args.seed)
-    print(f"generated {args.n_episodes} episodes ({len(bad)} bad) -> {args.data_dir}")
+    bad = generate(data_dir, material, n_episodes, n_pushes=n_pushes,
+                   n_workers=n_workers, seed=seed)
+    print(f"generated {n_episodes} episodes ({len(bad)} bad) -> {data_dir}")
 
 
 def cmd_preprocess(args):
@@ -177,9 +200,14 @@ def cmd_rollout(args):
     prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
     out_dir = args.out_dir or config["train_config"]["out_dir"]
     params = load_checkpoint(out_dir, epoch=args.epoch)
+    roll_dir = os.path.join(out_dir, "rollout")
     stats = rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir,
-                            out_dir=os.path.join(out_dir, "rollout"))
+                            out_dir=roll_dir)
     med = stats["median"]
+    if len(med):
+        from adaptigraph_tpu.utils.viz import plot_error_curves
+
+        plot_error_curves(stats, os.path.join(roll_dir, "error_median_iqr.png"))
     print(f"rollout: {len(stats.get('per_push', []))} pushes, "
           f"median error @last step {med[-1] if len(med) else float('nan'):.5f}")
 
@@ -216,6 +244,11 @@ def cmd_plan(args):
         target = env.get_particles_sim() + np.array([0.5, 0.0, 0.3], np.float32)
     hist = run_plan(env, params, tcfg, target, save_dir=args.save_dir,
                     seed=args.seed, use_ppo=not args.no_ppo)
+    if args.save_dir:
+        from adaptigraph_tpu.utils.viz import plot_planning_progress
+
+        plot_planning_progress(hist["errors"],
+                               os.path.join(args.save_dir, "plan_errors.png"))
     print(f"plan done: errors {['%.4f' % e for e in hist['errors']]}")
 
 
@@ -257,12 +290,13 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("datagen", help="generate simulation episodes")
-    d.add_argument("--material", required=True)
-    d.add_argument("--data_dir", required=True)
-    d.add_argument("--n_episodes", type=int, default=10)
-    d.add_argument("--n_pushes", type=int, default=5)
-    d.add_argument("--n_workers", type=int, default=1)
-    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--config", help="data_gen config name or path")
+    d.add_argument("--material")
+    d.add_argument("--data_dir")
+    d.add_argument("--n_episodes", type=int)
+    d.add_argument("--n_pushes", type=int)
+    d.add_argument("--n_workers", type=int)
+    d.add_argument("--seed", type=int)
     d.set_defaults(fn=cmd_datagen)
 
     pr = sub.add_parser("preprocess", help="episodes -> training artifacts")

@@ -5,8 +5,8 @@ Re-implements the reference ``Planner``
 injectable structure — ``model_rollout_fn``, ``evaluate_traj_fn``, sampling /
 clip / MPPI-update functions — but functional and key-threaded. The
 n_update_iter loop runs on the host (each iteration is one fused on-device
-program); chunking across devices lives in
-``adaptigraph_tpu.parallel.mppi_shard``.
+program); multi-device sample sharding lives in
+``adaptigraph_tpu.planning.mppi_solve`` (``make_mppi_solver(mesh=...)``).
 
 The GD variant optimizes action sequences by Adam on -mean(reward)
 (reference: planner.py:279-310) using jax.grad through the rollout.

@@ -81,3 +81,10 @@ def test_demo_ppo_cli(tmp_path, capsys):
     ppo2.load_interactions(str(tmp_path))
     est, err, err0 = ppo2.optimize(iterations=10)
     assert err <= err0 + 1e-9
+
+
+def test_datagen_config_box(tmp_path):
+    cli.main(["datagen", "--config", "box", "--data_dir", str(tmp_path),
+              "--n_episodes", "2"])
+    assert os.path.exists(tmp_path / "000000.npz")
+    assert os.path.exists(tmp_path / "000001.npz")
