@@ -135,3 +135,73 @@ def bbox_penalty(state, bbox):
         axis=-1,
     )
     return jnp.exp(-pens * 100.0).max(axis=-1)
+
+
+def hausdorff(x, y, x_mask=None, y_mask=None, eps=1e-12):
+    """Symmetric Hausdorff distance (reference: src/dynamics/gnn/loss.py:63-80):
+    max (instead of mean) of directed nearest-neighbor distances, summed both
+    ways. x: (..., N, D), y: (..., M, D) -> (...,)."""
+    diff = x[..., :, None, :] - y[..., None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + eps)
+    if x_mask is not None:
+        dist = jnp.where(x_mask[..., :, None], dist, jnp.inf)
+    if y_mask is not None:
+        dist = jnp.where(y_mask[..., None, :], dist, jnp.inf)
+    d_xy = jnp.min(dist, axis=-1)
+    d_yx = jnp.min(dist, axis=-2)
+    if x_mask is not None:
+        d_xy = jnp.where(x_mask, d_xy, -jnp.inf)
+    if y_mask is not None:
+        d_yx = jnp.where(y_mask, d_yx, -jnp.inf)
+    return jnp.max(d_xy, axis=-1) + jnp.max(d_yx, axis=-1)
+
+
+def emd_hungarian(x, y):
+    """Earth mover's distance by exact assignment (reference:
+    src/dynamics/gnn/loss.py:25-60 EarthMoverLoss, which runs scipy's
+    Hungarian per batch element on the host). Host-side numpy; use
+    :func:`emd_sinkhorn` for an on-device differentiable surrogate.
+
+    x, y: (B, N, D) equal-size point sets -> (B,) mean matched distance.
+    """
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    x = np.asarray(x)
+    y = np.asarray(y)
+    out = np.zeros(x.shape[0], np.float32)
+    for i in range(x.shape[0]):
+        cost = np.linalg.norm(x[i][:, None, :] - y[i][None, :, :], axis=-1)
+        r, c = linear_sum_assignment(cost)
+        out[i] = cost[r, c].mean()
+    return out
+
+
+def emd_sinkhorn(x, y, epsilon=0.02, n_iters=50):
+    """Entropy-regularized EMD (Sinkhorn) — the TPU-native, differentiable
+    stand-in for the reference's host-side Hungarian loop: fixed iteration
+    count, static shapes, batched. Converges to emd_hungarian as epsilon -> 0.
+
+    x, y: (B, N, D) -> (B,) transport cost under the Sinkhorn plan.
+    """
+    diff = x[:, :, None, :] - y[:, None, :, :]
+    C = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)  # (B, N, M)
+    B, N, M = C.shape
+    log_a = jnp.full((B, N), -jnp.log(N))
+    log_b = jnp.full((B, M), -jnp.log(M))
+    f = jnp.zeros((B, N))
+    g = jnp.zeros((B, M))
+
+    def body(carry, _):
+        f, g = carry
+        # log-domain Sinkhorn updates
+        f = -epsilon * jax.scipy.special.logsumexp(
+            (g[:, None, :] - C) / epsilon + log_b[:, None, :], axis=-1)
+        g = -epsilon * jax.scipy.special.logsumexp(
+            (f[:, :, None] - C) / epsilon + log_a[:, :, None], axis=-2)
+        return (f, g), None
+
+    (f, g), _ = jax.lax.scan(body, (f, g), None, length=n_iters)
+    P = jnp.exp((f[:, :, None] + g[:, None, :] - C) / epsilon
+                + log_a[:, :, None] + log_b[:, None, :])
+    return jnp.sum(P * C, axis=(-2, -1))

@@ -180,6 +180,130 @@ void Sim::solve_clusters() {
   }
 }
 
+void Sim::solve_walls() {
+  if (!has_walls) return;
+  const int N = n();
+  const float r = params.particle_radius;
+#pragma omp parallel for
+  for (int i = 0; i < N; ++i) {
+    if (inv_mass[i] == 0) continue;
+    if (pos[i].x < wall_x0 + r) pos[i].x = wall_x0 + r;
+    if (pos[i].x > wall_x1 - r) pos[i].x = wall_x1 - r;
+    if (pos[i].z < wall_z0 + r) pos[i].z = wall_z0 + r;
+    if (pos[i].z > wall_z1 - r) pos[i].z = wall_z1 - r;
+  }
+}
+
+// Position-based fluids (Macklin & Mueller 2013): per-particle density
+// constraint rho_i/rho0 - 1 = 0 solved by a lambda step over poly6/spiky
+// kernels. Plays the role of the FleX fluid solver in the bunnybath scene
+// (reference: PyFleX scenes yz_bunnybath.h; viscosity sampled per episode at
+// src/sim/sim_env/scenes.py:370).
+void Sim::solve_fluid() {
+  const int nf = fluid_end - fluid_begin;
+  if (nf <= 0) return;
+  const float hR = fluid_h;
+  const float h2 = hR * hR;
+  const float poly6 = 315.0f / (64.0f * 3.14159265f * std::pow(hR, 9.0f));
+  const float spiky = -45.0f / (3.14159265f * std::pow(hR, 6.0f));
+  build_hash(hR);
+  std::vector<float> lambda(nf, 0.0f);
+  auto cell_hash = [](int cx, int cy, int cz) {
+    return ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
+            (uint32_t)(cz * 283923481)) % 4096u;
+  };
+#pragma omp parallel for
+  for (int fi = 0; fi < nf; ++fi) {
+    int i = fluid_begin + fi;
+    float rho = 0.0f, sum_grad2 = 0.0f;
+    Vec3 grad_i{0, 0, 0};
+    int cx = (int)std::floor(pos[i].x / hR), cy = (int)std::floor(pos[i].y / hR),
+        cz = (int)std::floor(pos[i].z / hR);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz)
+          for (int j = hash_heads_[cell_hash(cx + dx, cy + dy, cz + dz)]; j >= 0;
+               j = hash_next_[j]) {
+            if (j < fluid_begin || j >= fluid_end) continue;
+            Vec3 d = sub(pos[i], pos[j]);
+            float r2 = dot(d, d);
+            if (r2 >= h2) continue;
+            float w = h2 - r2;
+            rho += poly6 * w * w * w;
+            if (j != i && r2 > 1e-12f) {
+              float rl = std::sqrt(r2);
+              float g = spiky * (hR - rl) * (hR - rl) / rl / fluid_rest_density;
+              Vec3 gj = mul(d, g);
+              grad_i = add(grad_i, gj);
+              sum_grad2 += dot(gj, gj);
+            }
+          }
+    sum_grad2 += dot(grad_i, grad_i);
+    float C = rho / fluid_rest_density - 1.0f;
+    if (C < 0) C = 0;  // no cohesion from the density constraint
+    lambda[fi] = -C / (sum_grad2 + 1e-4f);
+  }
+#pragma omp parallel for
+  for (int fi = 0; fi < nf; ++fi) {
+    int i = fluid_begin + fi;
+    Vec3 dp{0, 0, 0};
+    int cx = (int)std::floor(pos[i].x / hR), cy = (int)std::floor(pos[i].y / hR),
+        cz = (int)std::floor(pos[i].z / hR);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz)
+          for (int j = hash_heads_[cell_hash(cx + dx, cy + dy, cz + dz)]; j >= 0;
+               j = hash_next_[j]) {
+            if (j < fluid_begin || j >= fluid_end || j == i) continue;
+            Vec3 d = sub(pos[i], pos[j]);
+            float r2 = dot(d, d);
+            if (r2 >= h2 || r2 < 1e-12f) continue;
+            float rl = std::sqrt(r2);
+            float g = spiky * (hR - rl) * (hR - rl) / rl / fluid_rest_density;
+            dp = add(dp, mul(d, (lambda[fi] + lambda[j - fluid_begin]) * g));
+          }
+    pos[i] = add(pos[i], dp);
+  }
+}
+
+// XSPH viscosity: blend each fluid particle's velocity toward the local
+// average (Macklin & Mueller 2013 eq. 17); coefficient = bunnybath viscosity.
+void Sim::apply_xsph(float h) {
+  const int nf = fluid_end - fluid_begin;
+  if (nf <= 0 || fluid_viscosity <= 0) return;
+  const float hR = fluid_h;
+  const float h2 = hR * hR;
+  const float poly6 = 315.0f / (64.0f * 3.14159265f * std::pow(hR, 9.0f));
+  build_hash(hR);
+  auto cell_hash = [](int cx, int cy, int cz) {
+    return ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
+            (uint32_t)(cz * 283923481)) % 4096u;
+  };
+  std::vector<Vec3> dv(nf, Vec3{0, 0, 0});
+#pragma omp parallel for
+  for (int fi = 0; fi < nf; ++fi) {
+    int i = fluid_begin + fi;
+    Vec3 acc{0, 0, 0};
+    int cx = (int)std::floor(pos[i].x / hR), cy = (int)std::floor(pos[i].y / hR),
+        cz = (int)std::floor(pos[i].z / hR);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz)
+          for (int j = hash_heads_[cell_hash(cx + dx, cy + dy, cz + dz)]; j >= 0;
+               j = hash_next_[j]) {
+            if (j < fluid_begin || j >= fluid_end || j == i) continue;
+            Vec3 d = sub(pos[i], pos[j]);
+            float r2 = dot(d, d);
+            if (r2 >= h2) continue;
+            float w = (h2 - r2);
+            acc = add(acc, mul(sub(vel[j], vel[i]),
+                               poly6 * w * w * w / fluid_rest_density));
+          }
+    dv[fi] = mul(acc, fluid_viscosity);
+  }
+  for (int fi = 0; fi < nf; ++fi) vel[fluid_begin + fi] = add(vel[fluid_begin + fi], dv[fi]);
+}
+
 void Sim::collide_tool() {
   const int N = n();
   const float r = params.tool_radius + params.particle_radius;
@@ -220,8 +344,10 @@ void Sim::step(const Vec3* tool_target, int n_tool) {
     for (int it = 0; it < params.iterations; ++it) {
       solve_constraints(h);
       solve_clusters();
+      solve_fluid();
       if (self_collision) solve_contacts();
       collide_tool();
+      solve_walls();
       solve_ground(h);
     }
     // velocity update
@@ -230,6 +356,7 @@ void Sim::step(const Vec3* tool_target, int n_tool) {
       if (inv_mass[i] == 0) continue;
       vel[i] = mul(sub(pos[i], prev[i]), 1.0f / h);
     }
+    apply_xsph(h);
   }
 }
 
@@ -381,6 +508,118 @@ Sim* make_softbody(const float* p, int np_, uint64_t seed) {
   return s;
 }
 
+Sim* make_multiobj(const float* p, int np_, uint64_t seed) {
+  // p = [n_objects, obj_scale, area_r, friction]
+  // Multiple rigid convex bodies (reference scene: by_multi_objects.h via
+  // multi_obj_scene, src/sim/sim_env/scenes.py:394): each object is a small
+  // particle blob bound by one stiffness-1 shape-matching cluster.
+  int n_obj = (int)p[0];
+  float scale = p[1];
+  float area_r = p[2];
+  float friction = p[3];
+  auto* s = new Sim();
+  s->self_collision = true;
+  s->params.dynamic_friction = friction;
+  s->params.particle_radius = 0.45f * scale;
+  s->params.contact_radius_scale = 2.0f;
+  s->params.damping = 2.0f;
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<float> U(-area_r, area_r);
+  std::uniform_int_distribution<int> S3(2, 3);
+  for (int o = 0; o < n_obj; ++o) {
+    float cx = U(rng), cz = U(rng);
+    int sx = S3(rng), sy = S3(rng), sz = S3(rng);
+    Cluster cl;
+    float sp = scale;
+    for (int k = 0; k < sz; ++k)
+      for (int j = 0; j < sy; ++j)
+        for (int i = 0; i < sx; ++i) {
+          cl.indices.push_back(s->n());
+          s->add_particle({cx + (i - (sx - 1) * 0.5f) * sp,
+                           s->params.particle_radius + j * sp,
+                           cz + (k - (sz - 1) * 0.5f) * sp},
+                          1.0f);
+        }
+    Vec3 com{0, 0, 0};
+    for (int id : cl.indices) com = add(com, s->pos[id]);
+    com = mul(com, 1.0f / cl.indices.size());
+    for (int id : cl.indices) cl.rest.push_back(sub(s->pos[id], com));
+    cl.stiffness = 1.0f;  // rigid
+    s->clusters.push_back(cl);
+  }
+  return s;
+}
+
+Sim* make_bunnybath(const float* p, int np_, uint64_t seed) {
+  // p = [nx, ny, nz, spacing, viscosity, tank_half_x, tank_half_z,
+  //      body_scale (0 = no rigid body)]
+  // Fluid bath + optional rigid body (reference scene: yz_bunnybath.h; the
+  // sampled physics param is viscosity, src/sim/sim_env/scenes.py:370).
+  int nx = (int)p[0], ny = (int)p[1], nz = (int)p[2];
+  float spacing = p[3];
+  float viscosity = p[4];
+  float hx = p[5], hz = p[6];
+  float body_scale = np_ > 7 ? p[7] : 0.0f;
+  auto* s = new Sim();
+  s->params.particle_radius = spacing * 0.5f;
+  s->params.damping = 0.5f;
+  s->params.iterations = 4;
+  s->fluid_h = spacing * 2.2f;
+  s->fluid_viscosity = viscosity;
+  s->has_walls = true;
+  s->wall_x0 = -hx; s->wall_x1 = hx;
+  s->wall_z0 = -hz; s->wall_z1 = hz;
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<float> J(-0.05f * spacing, 0.05f * spacing);
+  s->fluid_begin = 0;
+  for (int k = 0; k < nz; ++k)
+    for (int j = 0; j < ny; ++j)
+      for (int i = 0; i < nx; ++i)
+        s->add_particle({-0.5f * (nx - 1) * spacing + i * spacing + J(rng),
+                         s->params.particle_radius + j * spacing,
+                         -0.5f * (nz - 1) * spacing + k * spacing + J(rng)},
+                        1.0f);
+  s->fluid_end = s->n();
+  // rest density from the cubic spawn lattice under the poly6 kernel
+  {
+    const float hR = s->fluid_h, h2 = hR * hR;
+    const float poly6 = 315.0f / (64.0f * 3.14159265f * std::pow(hR, 9.0f));
+    float rho = 0.0f;
+    for (int dx = -3; dx <= 3; ++dx)
+      for (int dy = -3; dy <= 3; ++dy)
+        for (int dz = -3; dz <= 3; ++dz) {
+          float r2 = (dx * dx + dy * dy + dz * dz) * spacing * spacing;
+          if (r2 < h2) {
+            float w = h2 - r2;
+            rho += poly6 * w * w * w;
+          }
+        }
+    s->fluid_rest_density = rho;
+  }
+  if (body_scale > 0) {
+    // floating rigid blob ("bunny") dropped into the bath
+    Cluster cl;
+    int m = 3;
+    float sp = body_scale;
+    for (int k = 0; k < m; ++k)
+      for (int j = 0; j < m; ++j)
+        for (int i = 0; i < m; ++i) {
+          cl.indices.push_back(s->n());
+          s->add_particle({(i - 1) * sp, ny * spacing + 2.0f * sp + j * sp,
+                           (k - 1) * sp},
+                          0.8f);
+        }
+    Vec3 com{0, 0, 0};
+    for (int id : cl.indices) com = add(com, s->pos[id]);
+    com = mul(com, 1.0f / cl.indices.size());
+    for (int id : cl.indices) cl.rest.push_back(sub(s->pos[id], com));
+    cl.stiffness = 1.0f;
+    s->clusters.push_back(cl);
+    s->self_collision = true;  // body-fluid coupling via contacts
+  }
+  return s;
+}
+
 }  // namespace xpbd
 
 // ---------------- C API (ctypes) ----------------
@@ -392,6 +631,8 @@ void* xpbd_create(int scene_type, const float* params, int n_params, uint64_t se
     case 1: return xpbd::make_granular(params, n_params, seed);
     case 2: return xpbd::make_cloth(params, n_params, seed);
     case 3: return xpbd::make_softbody(params, n_params, seed);
+    case 4: return xpbd::make_multiobj(params, n_params, seed);
+    case 5: return xpbd::make_bunnybath(params, n_params, seed);
     default: return nullptr;
   }
 }

@@ -61,6 +61,16 @@ class Sim {
   std::vector<Cluster> clusters;
   bool self_collision = false;
 
+  // position-based fluid block (bunnybath): particles [fluid_begin,
+  // fluid_end) get a density constraint + XSPH viscosity instead of contacts
+  int fluid_begin = 0, fluid_end = 0;  // empty range = no fluid
+  float fluid_rest_density = 1.0f;     // computed from spawn spacing
+  float fluid_h = 0.1f;                // smoothing radius
+  float fluid_viscosity = 0.0f;        // XSPH coefficient [0, 1]
+  // tank walls (axis-aligned box in x/z) used by bath scenes
+  bool has_walls = false;
+  float wall_x0 = 0, wall_x1 = 0, wall_z0 = 0, wall_z1 = 0;
+
   // kinematic tool: spheres at tool_pos, moved linearly toward targets each step
   std::vector<Vec3> tool_pos;
 
@@ -75,6 +85,9 @@ class Sim {
   void solve_contacts();
   void solve_ground(float h);
   void solve_clusters();
+  void solve_fluid();
+  void solve_walls();
+  void apply_xsph(float h);
   void collide_tool();
   void build_hash(float cell);
   std::vector<int> hash_heads_;
@@ -87,5 +100,7 @@ Sim* make_rope(const float* p, int np_, uint64_t seed);
 Sim* make_granular(const float* p, int np_, uint64_t seed);
 Sim* make_cloth(const float* p, int np_, uint64_t seed);
 Sim* make_softbody(const float* p, int np_, uint64_t seed);
+Sim* make_multiobj(const float* p, int np_, uint64_t seed);
+Sim* make_bunnybath(const float* p, int np_, uint64_t seed);
 
 }  // namespace xpbd

@@ -15,7 +15,8 @@ import subprocess
 
 import numpy as np
 
-SCENE_TYPES = {"rope": 0, "granular": 1, "cloth": 2, "softbody": 3}
+SCENE_TYPES = {"rope": 0, "granular": 1, "cloth": 2, "softbody": 3,
+               "multiobj": 4, "bunnybath": 5}
 
 _CPP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cpp")
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

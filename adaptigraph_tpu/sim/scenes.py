@@ -94,11 +94,50 @@ def softbody_scene(rng):
     return "softbody", scene_params, properties
 
 
+def multiobj_scene(rng):
+    """Multiple rigid convex bodies (reference: scenes.py:394 multi_obj_scene
+    + by_multi_objects.h; clusterStiffness ~1 -> rigid)."""
+    n_objects = rng.randint(3, 7)
+    obj_scale = rng.uniform(0.08, 0.15)
+    area_r = rng.uniform(0.5, 0.9)
+    friction = rng.uniform(0.2, 0.6)
+    scene_params = [n_objects, obj_scale, area_r, friction]
+    properties = {
+        "particle_radius": float(0.45 * obj_scale),
+        "n_objects": int(n_objects),
+        "obj_scale": float(obj_scale),
+        "dynamic_friction": float(friction),
+        "stiffness": 1.0,
+    }
+    return "multiobj", scene_params, properties
+
+
+def bunnybath_scene(rng):
+    """Fluid bath + rigid body; the sampled physics parameter is viscosity
+    (reference: scenes.py:370 yz_bunnybath_scene)."""
+    viscosity = rng.uniform(0.0, 0.8)
+    nx, ny, nz = rng.randint(10, 14), rng.randint(4, 6), rng.randint(10, 14)
+    spacing = 0.1
+    hx = 0.5 * nx * spacing + 0.2
+    hz = 0.5 * nz * spacing + 0.2
+    body_scale = 0.08
+    scene_params = [nx, ny, nz, spacing, viscosity, hx, hz, body_scale]
+    properties = {
+        "particle_radius": float(spacing * 0.5),
+        "num_particles": nx * ny * nz + 27,
+        "viscosity": float(viscosity),
+        "dynamic_friction": 0.01,
+    }
+    return "bunnybath", scene_params, properties
+
+
 SCENE_SAMPLERS = {
     "rope": rope_scene,
     "granular": granular_scene,
     "cloth": cloth_scene,
     "softbody": softbody_scene,
+    "multiobj": multiobj_scene,
+    "bunnybath": bunnybath_scene,
 }
 
 # pusher geometry per material (reference: config/dynamics/*.yaml eef section
@@ -108,6 +147,8 @@ PUSHER_GEOMETRY = {
     "granular": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
     "cloth": {"offsets": [0.0], "radius": 0.06, "n_eef": 1},
     "softbody": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
+    "multiobj": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
+    "bunnybath": {"offsets": [0.0], "radius": 0.1, "n_eef": 1},
 }
 
 # eef keypoint offsets used at preprocess time: keypoint j =
@@ -117,4 +158,6 @@ EEF_OFFSETS = {
     "granular": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
     "cloth": [[0.0, 0.0, 0.0]],
     "softbody": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
+    "multiobj": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
+    "bunnybath": [[0.0, 0.0, 0.0]],
 }

@@ -76,3 +76,39 @@ def test_rope_penalty_near_vs_far():
     near = float(rope_penalty(state_pred[:1], action_near, state_init)[0, 0])
     far = float(rope_penalty(state_pred[:1], action_far, state_init)[0, 0])
     assert near > 0.9 and far < 1e-3
+
+
+def test_hausdorff_known_value():
+    from adaptigraph_tpu.ops.costs import hausdorff
+
+    x = jnp.asarray([[[0.0, 0, 0], [1, 0, 0]]])
+    y = jnp.asarray([[[0.0, 0, 0], [3, 0, 0]]])
+    # d_xy: max(min-dists x->y) = max(0, 1) = 1; d_yx: max(0, 2) = 2
+    np.testing.assert_allclose(float(hausdorff(x, y)[0]), 3.0, atol=1e-4)
+
+
+def test_emd_hungarian_permutation_invariant():
+    from adaptigraph_tpu.ops.costs import emd_hungarian
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 12, 3).astype(np.float32)
+    perm = rng.permutation(12)
+    d = emd_hungarian(x, x[:, perm])
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+    y = x + 0.5
+    np.testing.assert_allclose(emd_hungarian(x, y), 0.5 * np.sqrt(3), atol=1e-5)
+
+
+def test_emd_sinkhorn_close_to_hungarian():
+    import jax
+    from adaptigraph_tpu.ops.costs import emd_hungarian, emd_sinkhorn
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 16, 3).astype(np.float32) * 0.3)
+    y = jnp.asarray(rng.randn(3, 16, 3).astype(np.float32) * 0.3)
+    exact = emd_hungarian(x, y)
+    approx = np.asarray(emd_sinkhorn(x, y, epsilon=0.01, n_iters=200))
+    np.testing.assert_allclose(approx, exact, rtol=0.08)
+    # differentiable
+    g = jax.grad(lambda a: emd_sinkhorn(a, y).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()

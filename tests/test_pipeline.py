@@ -198,3 +198,33 @@ def test_box2d_sim(tmp_path):
     assert np.isfinite(corners).all()
     import os
     assert os.path.exists(tmp_path / "000000.npz")
+
+
+@pytest.mark.parametrize("material", ["multiobj", "bunnybath"])
+def test_new_scene_families(material):
+    """multiobj (rigid bodies) and bunnybath (PBF fluid + rigid body):
+    finite, push-responsive, and no blow-ups."""
+    from adaptigraph_tpu.sim.env import PushEnv
+
+    env = PushEnv(material, seed=0)
+    p0 = env.reset()
+    assert np.isfinite(p0).all()
+    pos, eef = env.execute_push(env.sample_push())
+    assert np.isfinite(pos).all()
+    assert np.abs(pos[-1] - p0).mean() > 1e-3  # the push moved something
+    assert pos[-1][:, 1].max() < 3.0  # nothing exploded upward
+
+
+def test_bunnybath_fluid_settles():
+    """The fluid block must stay bounded by the tank walls."""
+    from adaptigraph_tpu.sim.engine import XPBDScene
+
+    sc = XPBDScene("bunnybath", [8, 4, 8, 0.1, 0.3, 0.7, 0.7, 0.0], seed=1)
+    import numpy as _np
+
+    for _ in range(40):
+        sc.step(_np.zeros((0, 3), _np.float32))
+    p = sc.get_positions()
+    assert _np.isfinite(p).all()
+    assert _np.abs(p[:, 0]).max() <= 0.71 and _np.abs(p[:, 2]).max() <= 0.71
+    assert p[:, 1].min() > 0.0 and p[:, 1].max() < 1.5
