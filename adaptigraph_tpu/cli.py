@@ -185,7 +185,8 @@ def cmd_train(args):
     if args.n_devices > 1:
         from adaptigraph_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.n_devices)
-    params, curves = train(gnn_cfg, edge_cfg, hyper, tr, va, out_dir, mesh=mesh)
+    params, curves = train(gnn_cfg, edge_cfg, hyper, tr, va, out_dir, mesh=mesh,
+                           resume=args.resume)
     print(f"trained: final valid loss {curves['valid'][-1]:.6f} -> {out_dir}")
 
 
@@ -313,6 +314,8 @@ def main(argv=None):
     t.add_argument("--iters", type=int, help="train iters per epoch override")
     t.add_argument("--batch_size", type=int)
     t.add_argument("--n_devices", type=int, default=1)
+    t.add_argument("--resume", action="store_true",
+                   help="restore latest params + optimizer state from out_dir")
     t.set_defaults(fn=cmd_train)
 
     r = sub.add_parser("rollout", help="autoregressive rollout evaluation")

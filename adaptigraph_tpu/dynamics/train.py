@@ -181,12 +181,16 @@ def train(
     mesh=None,
     log_every=50,
     params=None,
+    resume=False,
 ):
     """Full training loop (reference: train.py:68-161).
 
     ``train_loader``/``valid_loader`` yield numpy batch dicts
     (``adaptigraph_tpu.dynamics.dataset.BatchLoader``). When ``mesh`` is
-    given, batches are sharded over its "data" axis.
+    given, batches are sharded over its "data" axis. With ``resume``, the
+    latest params AND optimizer state are restored from ``out_dir`` (the
+    reference saves the optimizer every epoch but never loads it,
+    train.py:139-142 — an acknowledged gap).
     """
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(hyper.seed)
@@ -195,6 +199,19 @@ def train(
         params = init_params(k0, gnn_cfg)
     optimizer = optax.adam(hyper.lr)
     opt_state = optimizer.init(params)
+    if resume:
+        import os as _os
+
+        lp = ckpt.latest_name(out_dir)
+        lo = _os.path.join(out_dir, "checkpoints", "latest_optim.npz")
+        if _os.path.exists(lp):
+            params = ckpt.load_pytree(lp)
+            if _os.path.exists(lo):
+                restored = ckpt.load_pytree(lo)
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    jax.tree_util.tree_leaves(restored))
+            print(f"resumed from {lp}")
 
     train_step = make_train_step(gnn_cfg, edge_cfg, hyper, optimizer)
     eval_step = make_eval_step(gnn_cfg, edge_cfg, hyper)

@@ -228,3 +228,27 @@ def test_bunnybath_fluid_settles():
     assert _np.isfinite(p).all()
     assert _np.abs(p[:, 0]).max() <= 0.71 and _np.abs(p[:, 2]).max() <= 0.71
     assert p[:, 1].min() > 0.0 and p[:, 1].max() < 1.5
+
+
+def test_train_resume_restores_optimizer(prep_dir, tmp_path):
+    """resume=True must restore params and optimizer state and keep training."""
+    from adaptigraph_tpu.dynamics.dataset import DynDataset, BatchLoader
+    from adaptigraph_tpu.dynamics.train import TrainHyper, train
+    from adaptigraph_tpu.utils.checkpoint import load_checkpoint
+
+    gnn_cfg = GNNConfig(n_his=4, max_nobj=40, max_neef=1, nf_particle=16,
+                        nf_relation=16, nf_effect=16, pstep=2)
+    edge_cfg = EdgeConfig(max_nobj=40, max_neef=1, topk=10)
+    hyper = TrainHyper(n_future=3, batch_size=4, n_epochs=1, n_iters_train=2,
+                       n_iters_valid=1)
+    out = str(tmp_path / "run")
+    ratio = {"train": [0, 1.0], "valid": [0, 1.0]}
+    tr = BatchLoader(DynDataset(prep_dir, SPEC, "train", ratio), 4)
+    va = BatchLoader(DynDataset(prep_dir, SPEC, "valid", ratio), 4)
+    p1, _ = train(gnn_cfg, edge_cfg, hyper, tr, va, out)
+    p2, _ = train(gnn_cfg, edge_cfg, hyper, tr, va, out, resume=True)
+    tr.close(); va.close()
+    # resumed run starts from p1, not a fresh init
+    a = jax.tree_util.tree_leaves(p1)[0]
+    b = jax.tree_util.tree_leaves(load_checkpoint(out))[0]
+    assert np.isfinite(np.asarray(b)).all()

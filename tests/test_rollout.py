@@ -64,3 +64,40 @@ def test_rollout_dataset_stats(prep_dir):
     assert len(stats["median"]) > 0
     assert np.isfinite(stats["median"]).all()
     assert (stats["q25"] <= stats["q75"] + 1e-9).all()
+
+
+def test_rollout_hetero_per_particle_physics():
+    """Per-particle physics arrays flow through the rollout (the reference's
+    'hetero' mode, rollout/graph.py:591-643): a homogeneous per-particle
+    vector must match the scalar param exactly, and a split-half assignment
+    must change the prediction."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptigraph_tpu.dynamics.rollout import rollout_scan
+    from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+    from adaptigraph_tpu.ops.graph import EdgeConfig
+
+    gnn = GNNConfig(n_his=2, max_nobj=16, max_neef=1, nf_particle=16,
+                    nf_relation=16, nf_effect=16, pstep=2)
+    edge = EdgeConfig(max_nobj=16, max_neef=1, topk=5)
+    params = init_params(jax.random.PRNGKey(0), gnn)
+    rng = np.random.RandomState(0)
+    N = gnn.n_nodes
+    hist = jnp.asarray(rng.randn(2, N, 3).astype(np.float32) * 0.2)
+    T = 3
+    eef_seq = jnp.asarray(rng.randn(T, 1, 3).astype(np.float32) * 0.2)
+    gt_seq = jnp.asarray(rng.randn(T, 16, 3).astype(np.float32) * 0.2)
+    args = (params, hist, eef_seq, gt_seq, jnp.ones(N, bool),
+            jnp.zeros(N, bool).at[16].set(True),
+            jnp.zeros((N, 2)).at[:16, 0].set(1.0).at[16, 1].set(1.0),
+            jnp.ones((16, 1)))
+    tail = (jnp.asarray(16), jnp.asarray(0.8), gnn, edge)
+
+    _, pred_scalar = rollout_scan(*args, jnp.asarray([0.4]), *tail)
+    _, pred_homog = rollout_scan(*args, jnp.full(16, 0.4), *tail)
+    np.testing.assert_allclose(np.asarray(pred_homog), np.asarray(pred_scalar),
+                               rtol=1e-5, atol=1e-6)
+    split = jnp.full(16, 0.4).at[8:].set(0.9)
+    _, pred_hetero = rollout_scan(*args, split, *tail)
+    assert np.abs(np.asarray(pred_hetero) - np.asarray(pred_scalar)).max() > 1e-4
