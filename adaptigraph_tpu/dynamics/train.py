@@ -222,6 +222,9 @@ def train(
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
 
+    from adaptigraph_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(out_dir)
     curves = {"train": [], "valid": []}
     for epoch in range(hyper.n_epochs):
         t0 = time.time()
@@ -245,6 +248,8 @@ def train(
             vlosses.append(float(eval_step(params, batch, k)))
         curves["valid"].append(float(np.mean(vlosses)))
 
+        metrics.log("epoch", step=epoch, train_loss=curves["train"][-1],
+                    valid_loss=curves["valid"][-1], seconds=time.time() - t0)
         ckpt.save_checkpoint(out_dir, epoch, params, opt_state)
         np.savez(os.path.join(out_dir, "loss_curves.npz"), **{k: np.asarray(v) for k, v in curves.items()})
         _plot_curves(curves, out_dir)
@@ -252,6 +257,7 @@ def train(
             f"epoch {epoch}: train {curves['train'][-1]:.6f} valid {curves['valid'][-1]:.6f} "
             f"({time.time() - t0:.1f}s)"
         )
+    metrics.close()
     return params, curves
 
 

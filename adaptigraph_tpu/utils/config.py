@@ -20,12 +20,17 @@ def config_dir():
     return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
 
 
-def load_dynamics_config(name_or_path):
+def load_dynamics_config(name_or_path, validate=True):
     """Load a dynamics config by material name (e.g. 'rope') or explicit path."""
     if os.path.exists(name_or_path):
-        return load_yaml(name_or_path)
-    path = os.path.join(config_dir(), "dynamics", f"{name_or_path}.yaml")
-    return load_yaml(path)
+        cfg = load_yaml(name_or_path)
+    else:
+        cfg = load_yaml(os.path.join(config_dir(), "dynamics", f"{name_or_path}.yaml"))
+    if validate:
+        from adaptigraph_tpu.utils.validate import validate_dynamics_config
+
+        validate_dynamics_config(cfg)
+    return cfg
 
 
 def load_planning_config(name_or_path):
@@ -41,5 +46,8 @@ def load_planning_config(name_or_path):
     dyn_path = task["config"]
     if not os.path.exists(dyn_path):
         dyn_path = os.path.join(config_dir(), "dynamics", os.path.basename(dyn_path))
-    task["_dynamics_config"] = load_yaml(dyn_path)
+    task["_dynamics_config"] = load_dynamics_config(dyn_path)
+    from adaptigraph_tpu.utils.validate import validate_planning_config
+
+    validate_planning_config(task)
     return task

@@ -88,3 +88,32 @@ def test_datagen_config_box(tmp_path):
               "--n_episodes", "2"])
     assert os.path.exists(tmp_path / "000000.npz")
     assert os.path.exists(tmp_path / "000001.npz")
+
+
+def test_config_validation():
+    from adaptigraph_tpu.utils.config import load_dynamics_config, load_planning_config
+    from adaptigraph_tpu.utils.validate import ConfigError, validate_dynamics_config
+
+    # all shipped configs must validate
+    for name in ("rope", "granular", "cloth", "softbody"):
+        load_dynamics_config(name)
+    for name in ("rope", "granular", "cloth"):
+        load_planning_config(name)
+    # a broken config must fail with a pointed message
+    cfg = load_dynamics_config("rope")
+    del cfg["model_config"]["pstep"]
+    with pytest.raises(ConfigError, match="pstep"):
+        validate_dynamics_config(cfg)
+
+
+def test_metrics_logger(tmp_path):
+    from adaptigraph_tpu.utils.metrics import MetricsLogger, read_metrics
+
+    m = MetricsLogger(str(tmp_path))
+    m.log("train", step=1, loss=0.5)
+    m.log("valid", step=1, loss=0.4, err=0.1)
+    m.close()
+    recs = read_metrics(str(tmp_path / "metrics.jsonl"))
+    assert len(recs) == 2
+    assert recs[0]["tag"] == "train" and recs[0]["loss"] == 0.5
+    assert recs[1]["err"] == 0.1
