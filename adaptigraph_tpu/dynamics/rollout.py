@@ -139,10 +139,20 @@ def rollout_episode(params, spec, gnn_cfg, edge_cfg, obj_pos, eef_pos, physics_p
     hist, fps_idx, state_mask, eef_mask, n_obj = build_start_state(spec, obj_pos, eef_pos, chain)
 
     T = len(chain) - 1
-    gt_seq = np.zeros((T, spec.max_nobj, 3), np.float32)
+    # bucket T to the next power of two so rollout_scan compiles once per
+    # bucket instead of once per episode chain length (the per-shape jit
+    # cache would otherwise recompile for every episode)
+    Tb = 1
+    while Tb < T:
+        Tb *= 2
+    gt_seq = np.zeros((Tb, spec.max_nobj, 3), np.float32)
     for t, f in enumerate(chain[1:]):
         gt_seq[t, :n_obj] = obj_pos[f][fps_idx]
-    eef_seq = eef_pos[chain[1:]].astype(np.float32)
+    # pad by repeating the last frame; padded steps are sliced off below
+    gt_seq[T:] = gt_seq[T - 1]
+    eef_seq = np.zeros((Tb,) + eef_pos.shape[1:], np.float32)
+    eef_seq[:T] = eef_pos[chain[1:]].astype(np.float32)
+    eef_seq[T:] = eef_seq[T - 1]
 
     N = spec.n_nodes
     attrs = np.zeros((N, 2), np.float32)
@@ -167,7 +177,7 @@ def rollout_episode(params, spec, gnn_cfg, edge_cfg, obj_pos, eef_pos, physics_p
         gnn_cfg,
         edge_cfg,
     )
-    return np.asarray(errors), np.asarray(preds), chain
+    return np.asarray(errors)[:T], np.asarray(preds)[:T], chain
 
 
 def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98, 1.0),
