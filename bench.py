@@ -109,8 +109,50 @@ def bench_rollout(n_steps=100, reps=3):
     return n_steps * reps / (time.time() - t0)
 
 
+def bench_mppi_granular(n_solves=3):
+    """Granular pushing MPPI (board pusher, 5 eef keypoints, topk 20,
+    config/planning/granular.yaml budgets) — the second headline task."""
+    from adaptigraph_tpu.ops.costs import granular_penalty
+
+    gnn = GNNConfig(n_his=4, max_nobj=100, max_neef=5, nf_particle=128,
+                    nf_relation=128, nf_effect=128, pstep=3)
+    edge = EdgeConfig(max_nobj=100, max_neef=5, topk=20)
+    dcfg = DynamicsConfig(gnn=gnn, edge=edge, n_his=4, push_length=0.1,
+                          sim_real_ratio=10.0, max_repeat=15, adj_thresh=0.40,
+                          pusher_offsets=(-0.05, -0.025, 0.0, 0.025, 0.05))
+    mcfg = MPPIConfig(n_sample=20000, n_sample_chunk=2000, n_look_ahead=1,
+                      n_update_iter=1, reward_weight=500.0, noise_level=1.0)
+
+    rng = np.random.RandomState(2)
+    params = init_params(jax.random.PRNGKey(2), gnn)
+    grid = np.stack(np.meshgrid(np.linspace(-2.4, -1.6, 10),
+                                np.linspace(-0.4, 0.4, 10)), -1).reshape(-1, 2)
+    state = np.concatenate([grid[:, :1], np.full((100, 1), 0.07), grid[:, 1:]], 1)
+    state = jnp.asarray((state + rng.randn(100, 3) * 0.02).astype(np.float32))
+    target = state + jnp.asarray([0.5, 0.0, 0.3])
+
+    def reward_fn(state_seqs, act_seqs, state_cur):
+        B = state_seqs.shape[0]
+        err = chamfer(state_seqs[:, -1],
+                      jnp.broadcast_to(target[None], (B,) + target.shape))
+        w = 2.0 / (jnp.max(err) + 1e-6)
+        pen = granular_penalty(state_seqs, act_seqs, state_cur)
+        return -w * err - 5.0 * jnp.mean(pen, axis=1)
+
+    solve = make_mppi_solver(dcfg, mcfg, reward_fn, LOWER, UPPER, use_fused=True)
+    act0 = jnp.asarray(np.array([[-2.0, 0.0, 0.5, 8.0]], np.float32))
+    res = solve(params, state, act0, jax.random.PRNGKey(3), jnp.asarray([0.5]))
+    assert np.isfinite(res["best_reward"])
+    t0 = time.time()
+    for i in range(n_solves):
+        res = solve(params, state, act0, jax.random.PRNGKey(4 + i), jnp.asarray([0.5]))
+    jax.block_until_ready(res["best_final_state"])
+    return n_solves / (time.time() - t0)
+
+
 def main():
     solves_per_s, _ = bench_mppi()
+    granular_solves_s = bench_mppi_granular()
     rollout_steps_s = bench_rollout()
     out = {
         "metric": "rope MPPI solves/s per chip (n_sample=20000, horizon 1, repeats<=15)",
@@ -119,6 +161,7 @@ def main():
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
         "extra": {
             "rollout_steps_per_s": round(rollout_steps_s, 1),
+            "granular_solves_per_s": round(granular_solves_s, 4),
             "baseline_estimate_solves_per_s": BASELINE_SOLVES_PER_S,
             "device": str(jax.devices()[0]),
         },

@@ -131,3 +131,42 @@ def test_sim_real_env_end_to_end():
     state2, _ = get_state_cur(env, pm, fps_radius=0.05, sim_real_ratio=10.0,
                               use_raw=True, rng=np.random.RandomState(0))
     assert len(state2) > 5
+
+
+def test_kabsch_recovers_transform():
+    from adaptigraph_tpu.realworld.calibrate import kabsch, _rodrigues_to_rot
+
+    rng = np.random.RandomState(0)
+    src = rng.randn(30, 3)
+    R_true = _rodrigues_to_rot(np.array([0.3, -0.2, 0.5]))
+    t_true = np.array([0.1, -0.4, 0.7])
+    dst = src @ R_true.T + t_true
+    R, t, s = kabsch(src, dst)
+    np.testing.assert_allclose(R, R_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+    assert abs(s - 1.0) < 1e-12
+    # with scale
+    R2, t2, s2 = kabsch(src, dst * 2.0, with_scale=True)
+    assert abs(s2 - 2.0) < 1e-9
+
+
+def test_hand_eye_tsai_recovers_X():
+    from adaptigraph_tpu.realworld.calibrate import (
+        _rodrigues_to_rot,
+        hand_eye_tsai,
+    )
+
+    rng = np.random.RandomState(1)
+    X = np.eye(4)
+    X[:3, :3] = _rodrigues_to_rot(np.array([0.2, 0.4, -0.3]))
+    X[:3, 3] = [0.05, -0.02, 0.1]
+    A_list, B_list = [], []
+    for _ in range(6):
+        A = np.eye(4)
+        A[:3, :3] = _rodrigues_to_rot(rng.randn(3) * 0.6)
+        A[:3, 3] = rng.randn(3) * 0.2
+        B = np.linalg.inv(X) @ A @ X  # AX = XB
+        A_list.append(A)
+        B_list.append(B)
+    X_est = hand_eye_tsai(A_list, B_list)
+    np.testing.assert_allclose(X_est, X, atol=1e-6)
