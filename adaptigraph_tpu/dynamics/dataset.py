@@ -144,7 +144,7 @@ class BatchLoader:
             pass
 
 
-def save_episode(path, obj_pos, eef_pos, pairs, fixed_mask=None):
+def save_episode(path, obj_pos, eef_pos, pairs, fixed_mask=None, push_bounds=None):
     data = dict(
         obj_pos=obj_pos.astype(np.float32),
         eef_pos=eef_pos.astype(np.float32),
@@ -152,6 +152,10 @@ def save_episode(path, obj_pos, eef_pos, pairs, fixed_mask=None):
     )
     if fixed_mask is not None:
         data["fixed_mask"] = fixed_mask.astype(bool)
+    if push_bounds is not None:
+        # frame index where each push starts, plus the total frame count:
+        # push p spans [push_bounds[p], push_bounds[p+1])
+        data["push_bounds"] = np.asarray(push_bounds, np.int32)
     np.savez_compressed(path, **data)
 
 

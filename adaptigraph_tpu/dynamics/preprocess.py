@@ -123,6 +123,7 @@ def preprocess(data_dir, prep_dir, eef_offsets, n_his, n_future, dist_thresh,
         norm_phys.append(norm)
 
         obj_chunks, eef_chunks, pair_chunks = [], [], []
+        push_bounds = [0]
         n_frames = 0
         for push_idx, push_file in enumerate(sim_io.list_pushes(epi_dir), start=1):
             data = sim_io.load_episode_step(os.path.join(epi_dir, push_file))
@@ -133,6 +134,7 @@ def preprocess(data_dir, prep_dir, eef_offsets, n_his, n_future, dist_thresh,
             obj_chunks.append(data["positions"])
             eef_chunks.append(eef_kp)
             n_frames += len(pairs)
+            push_bounds.append(n_frames)
             if filter_actions and push_idx in filter_actions.get(epi, []):
                 continue
             pair_chunks.append(pairs)
@@ -142,6 +144,7 @@ def preprocess(data_dir, prep_dir, eef_offsets, n_his, n_future, dist_thresh,
             np.concatenate(obj_chunks, axis=0),
             np.concatenate(eef_chunks, axis=0),
             np.concatenate(pair_chunks, axis=0) if pair_chunks else np.zeros((0, n_his + n_future), np.int64),
+            push_bounds=push_bounds,
         )
 
     save_physics(prep_dir, np.stack(raw_phys), np.stack(norm_phys))

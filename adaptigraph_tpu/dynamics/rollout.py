@@ -181,9 +181,11 @@ def rollout_episode(params, spec, gnn_cfg, edge_cfg, obj_pos, eef_pos, physics_p
 
 
 def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98, 1.0),
-                    dist_thresh=0.1, max_steps=100, out_dir=None):
+                    dist_thresh=0.1, max_steps=100, out_dir=None, save_video=True):
     """Evaluate all validation episodes; per-push error curves + aggregate
-    median/IQR (reference: rollout.py:373-467). Returns dict of stats."""
+    median/IQR (reference: rollout.py:373-467), plus a pred|gt|both video of
+    the first episode (reference: rollout/graph.py:59-339 visualize_graph).
+    Returns dict of stats."""
     import os
 
     from adaptigraph_tpu.dynamics.dataset import DynDataset
@@ -193,11 +195,40 @@ def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98
     all_errors = []
     for ei in range(len(ds.epi_files)):
         epi = ds._episode(ei)
-        errors, _, _ = rollout_episode(
+        # per-push evaluation when boundaries are recorded (reference:
+        # rollout.py:272 rollout_episode_pushes); whole-episode otherwise
+        per_push = "push_bounds" in epi and len(epi["push_bounds"]) > 2
+        if per_push:
+            pb = epi["push_bounds"]
+            for p in range(len(pb) - 1):
+                b0, b1 = int(pb[p]), int(pb[p + 1])
+                if b1 - b0 < 4:
+                    continue
+                errs_p, _, _ = rollout_episode(
+                    params, spec, gnn_cfg, edge_cfg, epi["obj_pos"][b0:b1],
+                    epi["eef_pos"][b0:b1], ds.physics_norm[ei], start=0,
+                    dist_thresh=dist_thresh, max_steps=max_steps,
+                )
+                if len(errs_p):
+                    all_errors.append(errs_p)
+        if per_push and not (ei == 0 and out_dir and save_video):
+            continue  # per-push errors already recorded; video needs ep 0 only
+        errors, preds, chain = rollout_episode(
             params, spec, gnn_cfg, edge_cfg, epi["obj_pos"], epi["eef_pos"],
             ds.physics_norm[ei], start=0, dist_thresh=dist_thresh, max_steps=max_steps,
         )
-        if len(errors):
+        if ei == 0 and out_dir and save_video and len(errors):
+            from adaptigraph_tpu.utils import viz as _viz
+
+            n_show = min(spec.max_nobj, epi["obj_pos"].shape[1])
+            gt = np.stack([epi["obj_pos"][f][:n_show] for f in chain[1:]])
+            center = tuple(np.asarray(gt[0]).mean(axis=0)[[0, 2]])
+            intr, extr = _viz.topdown_camera(center=center)
+            frames = _viz.render_rollout_frames(preds, gt, intr, extr,
+                                                n_valid=n_show)
+            os.makedirs(out_dir, exist_ok=True)
+            _viz.save_video(frames, os.path.join(out_dir, "rollout_ep0.mp4"))
+        if len(errors) and not per_push:
             all_errors.append(errors)
     if not all_errors:
         return {"median": np.zeros(0), "q25": np.zeros(0), "q75": np.zeros(0)}
