@@ -4,6 +4,7 @@
 #include <cmath>
 #include <cstring>
 #include <random>
+#include <unordered_map>
 
 namespace xpbd {
 
@@ -620,10 +621,62 @@ Sim* make_bunnybath(const float* p, int np_, uint64_t seed) {
   return s;
 }
 
+Sim* make_softbody_points(const float* pts, int n, float spacing,
+                          float stiffness, int cluster_span, float fixed_frac) {
+  // Soft body from an arbitrary particle fill (e.g. a voxelized mesh —
+  // the role of FleX's CreateSoftBody over core/voxelize output,
+  // by_softbody.h:260): overlapping shape-matching clusters built from a
+  // uniform cell partition of the points.
+  auto* s = new Sim();
+  s->params.particle_radius = spacing * 0.45f;
+  float min_y = 1e9f, max_y = -1e9f;
+  for (int i = 0; i < n; ++i) {
+    min_y = std::min(min_y, pts[i * 3 + 1]);
+    max_y = std::max(max_y, pts[i * 3 + 1]);
+  }
+  float y_thresh = min_y + fixed_frac * (max_y - min_y);
+  for (int i = 0; i < n; ++i) {
+    Vec3 p{pts[i * 3], pts[i * 3 + 1], pts[i * 3 + 2]};
+    s->add_particle(p, p.y <= y_thresh ? 0.0f : 1.0f);
+  }
+  // cell partition: cluster cell size = cluster_span * spacing, overlapped
+  // by half-cell offsets
+  float cell = std::max(1, cluster_span) * spacing;
+  for (int phase = 0; phase < 2; ++phase) {
+    float off = phase * 0.5f * cell;
+    std::unordered_map<int64_t, Cluster> cells;
+    for (int i = 0; i < n; ++i) {
+      int cx = (int)std::floor((pts[i * 3] + off) / cell);
+      int cy = (int)std::floor((pts[i * 3 + 1] + off) / cell);
+      int cz = (int)std::floor((pts[i * 3 + 2] + off) / cell);
+      int64_t key = ((int64_t)cx << 42) ^ ((int64_t)cy << 21) ^ (int64_t)cz;
+      cells[key].indices.push_back(i);
+    }
+    for (auto& kv : cells) {
+      Cluster& cl = kv.second;
+      if (cl.indices.size() < 4) continue;
+      Vec3 com{0, 0, 0};
+      for (int id : cl.indices) com = add(com, s->pos[id]);
+      com = mul(com, 1.0f / cl.indices.size());
+      for (int id : cl.indices) cl.rest.push_back(sub(s->pos[id], com));
+      cl.stiffness = 0.1f + 0.85f * stiffness;
+      s->clusters.push_back(cl);
+    }
+  }
+  return s;
+}
+
 }  // namespace xpbd
 
 // ---------------- C API (ctypes) ----------------
 extern "C" {
+
+void* xpbd_create_softbody_points(const float* pts, int n, float spacing,
+                                  float stiffness, int cluster_span,
+                                  float fixed_frac) {
+  return xpbd::make_softbody_points(pts, n, spacing, stiffness, cluster_span,
+                                    fixed_frac);
+}
 
 void* xpbd_create(int scene_type, const float* params, int n_params, uint64_t seed) {
   switch (scene_type) {

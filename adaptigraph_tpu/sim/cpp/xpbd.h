@@ -102,5 +102,7 @@ Sim* make_cloth(const float* p, int np_, uint64_t seed);
 Sim* make_softbody(const float* p, int np_, uint64_t seed);
 Sim* make_multiobj(const float* p, int np_, uint64_t seed);
 Sim* make_bunnybath(const float* p, int np_, uint64_t seed);
+Sim* make_softbody_points(const float* pts, int n, float spacing,
+                          float stiffness, int cluster_span, float fixed_frac);
 
 }  // namespace xpbd

@@ -63,6 +63,10 @@ def _load():
                                   ctypes.c_int, ctypes.c_float]
     lib.xpbd_get_tool.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.xpbd_step.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.xpbd_create_softbody_points.restype = ctypes.c_void_p
+    lib.xpbd_create_softbody_points.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int, ctypes.c_float]
     lib.xpbd_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -84,6 +88,21 @@ class XPBDScene:
         if not self._h:
             raise ValueError(f"unknown scene {scene}")
         self._n_tool = 0
+
+    @classmethod
+    def from_points(cls, points, spacing, stiffness=0.5, cluster_span=3,
+                    fixed_frac=0.0):
+        """Soft body from an arbitrary particle fill (e.g. meshutil.voxelize
+        output) — the FleX CreateSoftBody-from-mesh role (by_softbody.h:260)."""
+        self = cls.__new__(cls)
+        self._lib = _load()
+        arr, ptr = _fptr(np.asarray(points, np.float32))
+        self._h = self._lib.xpbd_create_softbody_points(
+            ptr, len(points), spacing, stiffness, cluster_span, fixed_frac)
+        if not self._h:
+            raise ValueError("softbody_points creation failed")
+        self._n_tool = 0
+        return self
 
     @property
     def n_particles(self):

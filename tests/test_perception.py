@@ -170,3 +170,46 @@ def test_hand_eye_tsai_recovers_X():
         B_list.append(B)
     X_est = hand_eye_tsai(A_list, B_list)
     np.testing.assert_allclose(X_est, X, atol=1e-6)
+
+
+def test_ik_reaches_fk_targets():
+    """IK must recover poses generated by FK (position-only and full-pose),
+    across random reachable configurations."""
+    from adaptigraph_tpu.realworld.kinematics import (
+        XARM6_LIMITS,
+        forward_kinematics,
+        inverse_kinematics,
+    )
+
+    rng = np.random.RandomState(0)
+    ok = 0
+    for _ in range(10):
+        q_true = rng.uniform(XARM6_LIMITS[:, 0] * 0.3, XARM6_LIMITS[:, 1] * 0.3)
+        T = forward_kinematics(q_true)
+        q, conv = inverse_kinematics(T[:3, 3], q0=q_true + rng.randn(6) * 0.2)
+        if conv:
+            T2 = forward_kinematics(q)
+            assert np.linalg.norm(T2[:3, 3] - T[:3, 3]) < 1e-4
+            ok += 1
+    assert ok >= 8
+
+    # full-pose IK
+    q_true = np.array([0.3, -0.4, -0.5, 0.2, 0.5, 0.1])
+    T = forward_kinematics(q_true)
+    q, conv = inverse_kinematics(T[:3, 3], target_R=T[:3, :3],
+                                 q0=q_true + 0.1)
+    assert conv
+    T2 = forward_kinematics(q)
+    assert np.linalg.norm(T2[:3, 3] - T[:3, 3]) < 1e-4
+    assert np.abs(T2[:3, :3] - T[:3, :3]).max() < 1e-3
+
+
+def test_push_waypoints_shape():
+    from adaptigraph_tpu.realworld.kinematics import push_waypoints
+
+    wp = push_waypoints([0.1, 0.0], [0.3, 0.1], height=0.05, n_steps=5)
+    assert wp.shape[1] == 3
+    assert wp[0, 2] > wp[1, 2]  # approach from above
+    np.testing.assert_allclose(wp[1, :2], [0.1, 0.0])
+    np.testing.assert_allclose(wp[-2, :2], [0.3, 0.1])
+    assert wp[-1, 2] > wp[-2, 2]  # retreat upward
