@@ -204,3 +204,28 @@ def test_dynamics_rollout_batched_matches_vmapped():
                                np.asarray(want["state_seqs"]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["action_seqs"]),
                                np.asarray(want["action_seqs"]), rtol=1e-6)
+
+
+def test_dynamics_rollout_batched_board_pusher():
+    """Parity for the granular-style 5-point board pusher (pusher_offsets,
+    max_neef=5, topk with tool rows)."""
+    from adaptigraph_tpu.planning.forward import dynamics_rollout_batched
+
+    gnn5 = GNNConfig(n_his=3, max_nobj=20, max_neef=5, nf_particle=16,
+                     nf_relation=16, nf_effect=16, pstep=2)
+    dcfg5 = DynamicsConfig(
+        gnn=gnn5, edge=EdgeConfig(max_nobj=20, max_neef=5, topk=6),
+        n_his=3, push_length=0.1, max_repeat=3, adj_thresh=0.8,
+        pusher_offsets=(-0.05, -0.025, 0.0, 0.025, 0.05))
+    params = init_params(jax.random.PRNGKey(1), gnn5)
+    rng = np.random.RandomState(5)
+    state = jnp.asarray(rng.randn(20, 3).astype(np.float32) * 0.3)
+    acts = jnp.asarray(rng.uniform(-1, 1, (3, 1, 4)).astype(np.float32))
+    acts = acts.at[..., 3].set(2.0)
+    want = dynamics_rollout(params, state, acts, jnp.asarray([0.5]), dcfg5)
+    got = dynamics_rollout_batched(params, state, acts, jnp.asarray([0.5]),
+                                   dcfg5, use_fused=False,
+                                   compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got["state_seqs"]),
+                               np.asarray(want["state_seqs"]), rtol=1e-5,
+                               atol=1e-5)
