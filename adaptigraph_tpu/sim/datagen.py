@@ -18,10 +18,11 @@ from adaptigraph_tpu.sim.env import PushEnv
 MAX_RETRIES = 10  # reference: data_gen.py:77 retry budget
 
 
-def gen_episode(data_dir, material, epi_idx, n_pushes, seed):
+def gen_episode(data_dir, material, epi_idx, n_pushes, seed,
+                capture_depth=False):
     epi_dir = os.path.join(data_dir, f"{epi_idx:06d}")
     os.makedirs(epi_dir, exist_ok=True)
-    env = PushEnv(material, seed=seed)
+    env = PushEnv(material, seed=seed, capture_depth=capture_depth)
     env.reset()
     fixed_mask = env.get_fixed_mask()
 
@@ -50,9 +51,14 @@ def gen_episode(data_dir, material, epi_idx, n_pushes, seed):
             positions,
             eef_states,
             action,
+            observations=env.last_observations(),
             inv_weight_is_0=inv0,
         )
     sim_io.store_properties(epi_dir, env.properties)
+    cams = env.camera_params()
+    if cams is not None:
+        # per-episode camera parameters (reference: data_gen saves camera npy)
+        np.savez(os.path.join(epi_dir, "cameras.npz"), **cams)
     return epi_idx, push_idx, bad
 
 
@@ -60,11 +66,13 @@ def _worker(args):
     return gen_episode(*args)
 
 
-def generate(data_dir, material, n_episodes, n_pushes=5, n_workers=1, seed=0):
+def generate(data_dir, material, n_episodes, n_pushes=5, n_workers=1, seed=0,
+             capture_depth=False):
     """Fan episodes out over a process pool (reference: data_gen.py:215-239).
     Returns the list of bad episode indices (reference: bad_episodes.txt)."""
     os.makedirs(data_dir, exist_ok=True)
-    jobs = [(data_dir, material, e, n_pushes, seed + e * 997) for e in range(n_episodes)]
+    jobs = [(data_dir, material, e, n_pushes, seed + e * 997, capture_depth)
+            for e in range(n_episodes)]
     if n_workers > 1:
         with mp.Pool(n_workers) as pool:
             results = pool.map(_worker, jobs)

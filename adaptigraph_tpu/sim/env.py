@@ -20,13 +20,24 @@ FRAME_EVERY = 5  # capture cadence (0.1 units of travel per captured frame)
 
 
 class PushEnv:
-    def __init__(self, material, seed=0):
+    def __init__(self, material, seed=0, capture_depth=False, n_cameras=4,
+                 img_size=240):
         assert material in SCENE_SAMPLERS, material
         self.material = material
         self.rng = np.random.RandomState(seed)
         self.geom = PUSHER_GEOMETRY[material]
         self.scene = None
         self.properties = None
+        # optional multi-view depth capture per stored frame (the reference
+        # records 4x 720x720 RGB-D per frame, flex_env.py:173-236; RGB needs
+        # a shader pipeline, depth is what the learning stack consumes)
+        self.cameras = None
+        if capture_depth:
+            from adaptigraph_tpu.realworld.cameras import make_multiview_cameras
+
+            self.cameras = make_multiview_cameras(
+                n=n_cameras, cam_dis=3.0, cam_height=4.0, width=img_size,
+                height=img_size, frame="y_up")
 
     def reset(self):
         """Sample a scene, settle it (reference: flex_env.py:259-306)."""
@@ -98,7 +109,7 @@ class PushEnv:
 
         total = np.hypot(x1 - x0, z1 - z0)
         n_steps = max(2, int(total / PUSH_STEP))
-        frames_pos, frames_eef = [], []
+        frames_pos, frames_eef, frames_depth = [], [], []
         prev_state = None
         for s in range(n_steps):
             frac = (s + 1) / n_steps
@@ -111,10 +122,33 @@ class PushEnv:
                 st = self._eef_state(x, z, theta, y, prev_state)
                 prev_state = st
                 frames_eef.append(st[None])
+                if self.cameras is not None:
+                    frames_depth.append([
+                        cam.render_depth(frames_pos[-1], table_axis=1)
+                        for cam in self.cameras
+                    ])
         # retreat the tool upward so the next push starts clean
         up = self._tool_points(x1, z1, theta, y + 1.0)
         self.scene.step(up)
+        if self.cameras is not None:
+            # (T, n_cams, H, W) float32 depth
+            self._last_depth = np.asarray(frames_depth, np.float32)
         return np.asarray(frames_pos), np.asarray(frames_eef)
+
+    def last_observations(self):
+        """Per-camera depth of the last executed push as the h5
+        ``observations`` dict (reference schema: data.py:4-45)."""
+        if self.cameras is None or not hasattr(self, "_last_depth"):
+            return None
+        return {"depth": {f"cam_{i}": self._last_depth[:, i]
+                          for i in range(len(self.cameras))}}
+
+    def camera_params(self):
+        if self.cameras is None:
+            return None
+        return {"intr": np.stack([c.intr for c in self.cameras]),
+                "R": np.stack([c.R for c in self.cameras]),
+                "t": np.stack([c.t for c in self.cameras])}
 
     def push_moved_object(self, before, after, threshold=0.01):
         """Push-validity gate: mean particle displacement (the reference

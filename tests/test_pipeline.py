@@ -315,3 +315,20 @@ def test_mesh_voxelize_and_softbody():
     p1 = sc.get_positions()
     assert np.isfinite(p1).all()
     assert np.abs(p1 - p0).mean() < 0.05  # stable, holds its shape
+
+
+def test_datagen_with_depth_capture(tmp_path):
+    """Opt-in multi-camera depth capture lands in the h5 observations group
+    with per-episode camera parameters (the reference's 4-cam capture)."""
+    from adaptigraph_tpu.sim import io as sim_io
+    from adaptigraph_tpu.sim.datagen import generate
+
+    generate(str(tmp_path), "rope", 1, n_pushes=1, seed=0, capture_depth=True)
+    epi = tmp_path / "000000"
+    data = sim_io.load_episode_step(str(epi / "01.h5"))
+    assert "observations" in data
+    depth = data["observations"]["depth"]["cam_0"]
+    assert depth.ndim == 3 and np.isfinite(depth).all()
+    assert depth.shape[0] == data["positions"].shape[0]
+    cams = np.load(epi / "cameras.npz")
+    assert cams["intr"].shape == (4, 4) and cams["R"].shape == (4, 3, 3)

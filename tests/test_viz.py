@@ -80,3 +80,38 @@ def test_time_jitted():
     x = jnp.ones((64, 64))
     mean, std = time_jitted(f, x, iters=3)
     assert mean > 0
+
+
+def test_quaternion_library():
+    from adaptigraph_tpu.utils.transforms import (
+        euler_to_quat,
+        quat_conjugate,
+        quat_from_axis_angle,
+        quat_from_rotmat,
+        quat_mul,
+        quat_to_rotmat,
+        rotate_vec,
+    )
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        axis = rng.randn(3)
+        ang = rng.uniform(-np.pi, np.pi)
+        q = quat_from_axis_angle(axis, ang)
+        R = quat_to_rotmat(q)
+        # roundtrip matrix <-> quaternion (up to sign)
+        q2 = quat_from_rotmat(R)
+        assert min(np.abs(q2 - q).max(), np.abs(q2 + q).max()) < 1e-9
+        # composition consistency
+        q_b = quat_from_axis_angle(rng.randn(3), rng.uniform(-np.pi, np.pi))
+        np.testing.assert_allclose(quat_to_rotmat(quat_mul(q, q_b)),
+                                   R @ quat_to_rotmat(q_b), atol=1e-9)
+        # conjugate inverts
+        v = rng.randn(3)
+        np.testing.assert_allclose(rotate_vec(quat_conjugate(q), rotate_vec(q, v)),
+                                   v, atol=1e-9)
+    # euler: yaw-only matches quat_from_yaw
+    from adaptigraph_tpu.utils.transforms import quat_from_yaw
+
+    np.testing.assert_allclose(euler_to_quat(0.0, 0.7, 0.0),
+                               quat_from_yaw(0.7), atol=1e-12)
