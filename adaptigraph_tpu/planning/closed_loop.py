@@ -216,24 +216,26 @@ def run_random_interact(env, params, task: TaskConfig, pm=None, save_dir=None,
         (np.asarray(task.action_lower_lim) + np.asarray(task.action_upper_lim))
         / 2.0, np.float32)[None].repeat(task.mcfg.n_look_ahead, 0)
 
+    def explore_reward(state_seqs, act_seqs, state_cur):
+        # exploration: maximize predicted state change (random_interact.py:26-55)
+        B = state_seqs.shape[0]
+        change = chamfer(state_seqs[:, -1],
+                         jnp.broadcast_to(state_cur[None], (B,) + state_cur.shape))
+        r = change
+        pen = PENALTIES[task.penalty_type]
+        if pen is not None:
+            r = r - 5.0 * jnp.mean(pen(state_seqs, act_seqs, state_cur), axis=1)
+        return r
+
+    # one solver for the whole loop (rebuilding it per action would recompile)
+    solve = make_mppi_solver(task.dcfg, task.mcfg, explore_reward,
+                             task.action_lower_lim, task.action_upper_lim,
+                             use_fused=task.use_fused)
     for i in range(n_actions):
         state_raw = perceive()
         state_pad, n_obj = _pad_state(state_raw, max_nobj)
         cur = jnp.asarray(state_pad)
 
-        def explore_reward(state_seqs, act_seqs, state_cur):
-            B = state_seqs.shape[0]
-            change = chamfer(state_seqs[:, -1],
-                             jnp.broadcast_to(state_cur[None], (B,) + state_cur.shape))
-            r = change
-            pen = PENALTIES[task.penalty_type]
-            if pen is not None:
-                r = r - 5.0 * jnp.mean(pen(state_seqs, act_seqs, state_cur), axis=1)
-            return r
-
-        solve = make_mppi_solver(task.dcfg, task.mcfg, explore_reward,
-                                 task.action_lower_lim, task.action_upper_lim,
-                                 use_fused=task.use_fused)
         key, k = jax.random.split(key)
         res = solve(params, cur, act_seq, k, jnp.asarray(ppo.physics_param))
         best_act = np.asarray(res["act_seq"])
