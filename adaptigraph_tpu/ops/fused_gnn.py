@@ -180,13 +180,13 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
         recv = dot(effect, rp_w2[:]).astype(cd)            # (S*Np, F)
         send = gather_s(dot(effect, rp_w3[:]).astype(cd))  # (S*K*Np, F)
         eff_rel = jnp.maximum(rel_base + tileK(recv) + send, 0.0)
-        masked = (eff_rel * mask).astype(f32)
+        masked = (eff_rel * mask).astype(cd)  # stays bf16; f32-accumulated below
         # sum the K slots per sample: rows s*KN + k*Np + i, k = 0..K-1
         aggs = []
         for s in range(S):
-            a = masked[s * KN: s * KN + Np]
+            a = masked[s * KN: s * KN + Np].astype(f32)
             for k in range(1, K):
-                a = a + masked[s * KN + k * Np: s * KN + (k + 1) * Np]
+                a = a + masked[s * KN + k * Np: s * KN + (k + 1) * Np].astype(f32)
             aggs.append(a)
         agg = jnp.concatenate(aggs, axis=0) if S > 1 else aggs[0]  # (S*Np, F)
         effect = jnp.maximum(

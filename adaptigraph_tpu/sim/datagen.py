@@ -38,7 +38,7 @@ def gen_episode(data_dir, material, epi_idx, n_pushes, seed,
                 # (reference: flex_env.py:458-460 NaN check)
                 bad = True
                 break
-            if env.push_moved_object(before, positions[-1]):
+            if env.push_moved_object(before, positions):
                 break
         else:
             bad = True

@@ -102,7 +102,12 @@ class PushEnv:
         x0, z0, x1, z1 = [float(v) for v in action]
         theta = np.arctan2(z1 - z0, x1 - x0)
         pts = self.get_positions()
-        y = max(0.03, float(pts[:, 1].min()))
+        # push at the MOVABLE particles' base: fixed particles (inv mass 0,
+        # e.g. the softbody's anchored bottom layer) cannot respond, so a
+        # tool swept at the global min-y would do nothing
+        movable = ~self.get_fixed_mask()
+        ys = pts[movable, 1] if movable.any() else pts[:, 1]
+        y = max(0.03, float(ys.min()))
 
         tool = self._tool_points(x0, z0, theta, y)
         self.scene.set_tool(tool, radius=self.geom["radius"])
@@ -150,7 +155,18 @@ class PushEnv:
                 "R": np.stack([c.R for c in self.cameras]),
                 "t": np.stack([c.t for c in self.cameras])}
 
-    def push_moved_object(self, before, after, threshold=0.01):
-        """Push-validity gate: mean particle displacement (the reference
-        gates on image change, data_gen.py:140-155; no rendering here)."""
+    def push_moved_object(self, before, after, threshold=0.01,
+                          local_threshold=0.05):
+        """Push-validity gate (the reference gates on image change,
+        data_gen.py:140-155 — sensitive to LOCAL motion). Accepts either the
+        final frame or the full captured trajectory; a push is valid when the
+        mean displacement passes ``threshold`` OR any single particle moves
+        more than ``local_threshold`` during the push (elastic materials with
+        fixed anchors — softbody — deform locally under contact and relax by
+        the final frame)."""
+        after = np.asarray(after)
+        if after.ndim == 3:  # (T, N, 3) trajectory
+            per_particle = np.linalg.norm(after - before[None], axis=-1)
+            return (float(np.abs(after - before[None]).mean(axis=(1, 2)).max())
+                    > threshold) or float(per_particle.max()) > local_threshold
         return float(np.abs(after - before).mean()) > threshold
