@@ -37,9 +37,17 @@ def _dyn_objects(config):
     spec = spec_from_config(config)
     gnn_cfg = model_config_from_yaml(config)
     ds = config["dataset_config"]["datasets"][0]
+    if ds.get("connect_tool_all_non_fixed"):
+        policy = "non_fixed"
+    elif ds.get("connect_tool_all"):
+        policy = "tools_all"
+    elif ds.get("connect_tools_surface"):
+        policy = "surface"
+    else:
+        policy = "none"
     edge_cfg = EdgeConfig(
         max_nobj=spec.max_nobj, max_neef=spec.max_neef, topk=spec.topk,
-        policy="tools_all" if ds.get("connect_tool_all") else "none",
+        policy=policy,
     )
     tc = config["train_config"]
     rand = config["dataset_config"].get("randomness", {})

@@ -125,8 +125,12 @@ def preprocess(data_dir, prep_dir, eef_offsets, n_his, n_future, dist_thresh,
         obj_chunks, eef_chunks, pair_chunks = [], [], []
         push_bounds = [0]
         n_frames = 0
+        fixed_mask = None
         for push_idx, push_file in enumerate(sim_io.list_pushes(epi_dir), start=1):
             data = sim_io.load_episode_step(os.path.join(epi_dir, push_file))
+            if fixed_mask is None and "particle_inv_weight_is_0" in data:
+                fm = np.asarray(data["particle_inv_weight_is_0"])
+                fixed_mask = fm.reshape(fm.shape[0], fm.shape[1], -1)[0, :, 0].astype(bool)
             eef_kp = process_eef(data["eef_states"], eef_offsets)
             pairs = extract_frame_pairs(
                 eef_kp, dist_thresh, n_his, n_future, n_frames, store_rest_state
@@ -144,6 +148,7 @@ def preprocess(data_dir, prep_dir, eef_offsets, n_his, n_future, dist_thresh,
             np.concatenate(obj_chunks, axis=0),
             np.concatenate(eef_chunks, axis=0),
             np.concatenate(pair_chunks, axis=0) if pair_chunks else np.zeros((0, n_his + n_future), np.int64),
+            fixed_mask=fixed_mask,
             push_bounds=push_bounds,
         )
 
