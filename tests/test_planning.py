@@ -229,3 +229,36 @@ def test_dynamics_rollout_batched_board_pusher():
     np.testing.assert_allclose(np.asarray(got["state_seqs"]),
                                np.asarray(want["state_seqs"]), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_gd_planner_improves_reward():
+    """The gradient-descent variant (Adam through the differentiable rollout,
+    reference planner.py:279-310) must improve on its initial samples."""
+    target = jnp.asarray([0.4, 0.2])
+    rollout = ToyRollout()
+
+    def evaluate(state_seqs, act_seqs, state_cur=None, **kw):
+        final = state_seqs[:, -1, 0]
+        return {"reward_seqs": -jnp.linalg.norm(final - target, axis=-1)}
+
+    cfg = PlannerConfig(
+        action_dim=4,
+        model_rollout_fn=rollout,
+        evaluate_traj_fn=evaluate,
+        n_sample=64,
+        n_look_ahead=1,
+        n_update_iter=40,
+        reward_weight=50.0,
+        action_lower_lim=jnp.asarray([-3.0, -3.0, -np.pi, 2.0]),
+        action_upper_lim=jnp.asarray([3.0, 3.0, np.pi, 10.0]),
+        noise_level=0.5,
+        planner_type="GD",
+        lr=3e-2,
+    )
+    planner = Planner(cfg)
+    res = planner.trajectory_optimization(
+        jnp.zeros(2), jnp.zeros((1, 4)).at[0, 3].set(5.0), jax.random.PRNGKey(2)
+    )
+    final = rollout(jnp.zeros(2), res["act_seq"][None])["state_seqs"][0, -1, 0]
+    err = float(jnp.linalg.norm(final - target))
+    assert err < 0.3, err
