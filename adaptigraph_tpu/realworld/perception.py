@@ -125,3 +125,18 @@ def get_state_cur(env, pm: PerceptionModule, fps_radius=0.2,
     graph = construct_graph(obj_kps, fps_radius=fps_radius, max_nobj=max_nobj,
                             rng=rng)
     return graph["obj_state_raw"], obj_kps
+
+
+def construct_goal_from_perception(env, pm: PerceptionModule = None,
+                                   sim_real_ratio=10.0, use_raw=True):
+    """Capture the current scene as a goal point cloud in sim coordinates
+    (reference: perception.py:352-398 construct_goal_from_perception — the
+    operator arranges the target configuration, then captures it)."""
+    pm = pm or PerceptionModule(stride=2)
+    obs = env.get_obs()
+    R_list, t_list = env.get_extrinsics()
+    pts = pm.get_tabletop_points(
+        [obs.get(f"color_{i}") for i in range(env.n_cameras)],
+        [obs[f"depth_{i}"] for i in range(env.n_cameras)],
+        R_list, t_list, env.get_intrinsics(), env.get_bbox(), use_raw=use_raw)
+    return obs_to_sim_coords(pts, sim_real_ratio)

@@ -213,3 +213,16 @@ def test_push_waypoints_shape():
     np.testing.assert_allclose(wp[1, :2], [0.1, 0.0])
     np.testing.assert_allclose(wp[-2, :2], [0.3, 0.1])
     assert wp[-1, 2] > wp[-2, 2]  # retreat upward
+
+
+def test_construct_goal_from_perception():
+    from adaptigraph_tpu.realworld.perception import construct_goal_from_perception
+
+    env = SimRealEnv("rope", seed=2, img_size=320)
+    goal = construct_goal_from_perception(env)
+    assert len(goal) > 20
+    gt = env.get_particles_sim()
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(gt).query(goal)
+    assert np.percentile(d, 90) < 0.35
