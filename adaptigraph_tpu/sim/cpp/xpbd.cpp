@@ -321,6 +321,47 @@ void Sim::collide_tool() {
   }
 }
 
+int Sim::grasp(int k, float max_dist) {
+  // Pin the k nearest movable non-fluid particles to tool point 0 (the
+  // gripper fingers' midpoint in the reference, flex_env.py:389-410:
+  // find_min_distance(finger_pos, obj_pos, pick_k=5) then inv mass := 0).
+  if (tool_pos.empty() || k <= 0) return 0;
+  release();
+  const Vec3 a = tool_pos[0];
+  std::vector<std::pair<float, int>> cand;
+  for (int i = 0; i < n(); ++i) {
+    if (inv_mass[i] == 0) continue;
+    if (i >= fluid_begin && i < fluid_end) continue;
+    float d = norm(sub(pos[i], a));
+    if (d <= max_dist) cand.emplace_back(d, i);
+  }
+  if (cand.empty()) return 0;
+  int take = std::min<int>(k, (int)cand.size());
+  std::partial_sort(cand.begin(), cand.begin() + take, cand.end());
+  for (int c = 0; c < take; ++c) {
+    int i = cand[c].second;
+    grasp_idx.push_back(i);
+    grasp_off.push_back(sub(pos[i], a));
+    grasp_saved_im.push_back(inv_mass[i]);
+    inv_mass[i] = 0.0f;
+    vel[i] = Vec3{};
+  }
+  return take;
+}
+
+void Sim::release() {
+  // Restore inv mass of grasped particles (reference: flex_env.py:468-471).
+  for (size_t c = 0; c < grasp_idx.size(); ++c) {
+    int i = grasp_idx[c];
+    inv_mass[i] = grasp_saved_im[c];
+    vel[i] = Vec3{};
+    prev[i] = pos[i];
+  }
+  grasp_idx.clear();
+  grasp_off.clear();
+  grasp_saved_im.clear();
+}
+
 void Sim::step(const Vec3* tool_target, int n_tool) {
   const float h = params.dt / params.substeps;
   const int N = n();
@@ -330,6 +371,15 @@ void Sim::step(const Vec3* tool_target, int n_tool) {
     float tfrac = (s + 1.0f) / params.substeps;
     for (int k = 0; k < n_tool && k < (int)tool_pos.size(); ++k) {
       tool_pos[k] = add(tool_start[k], mul(sub(tool_target[k], tool_start[k]), tfrac));
+    }
+    // grasped particles ride tool point 0 rigidly (inv mass 0 keeps them out
+    // of integration and the velocity pass)
+    if (!grasp_idx.empty() && !tool_pos.empty()) {
+      for (size_t c = 0; c < grasp_idx.size(); ++c) {
+        int i = grasp_idx[c];
+        pos[i] = add(tool_pos[0], grasp_off[c]);
+        prev[i] = pos[i];
+      }
     }
     // integrate
     float damp = std::max(0.0f, 1.0f - params.damping * h);
@@ -717,6 +767,18 @@ void xpbd_get_tool(void* h, float* out) {
 void xpbd_step(void* h, const float* tool_target, int n_tool) {
   static_cast<xpbd::Sim*>(h)->step(reinterpret_cast<const xpbd::Vec3*>(tool_target), n_tool);
 }
+
+void xpbd_fluid_range(void* h, int* out2) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  out2[0] = s->fluid_begin;
+  out2[1] = s->fluid_end;
+}
+
+int xpbd_grasp(void* h, int k, float max_dist) {
+  return static_cast<xpbd::Sim*>(h)->grasp(k, max_dist);
+}
+
+void xpbd_release(void* h) { static_cast<xpbd::Sim*>(h)->release(); }
 
 void xpbd_destroy(void* h) { delete static_cast<xpbd::Sim*>(h); }
 }

@@ -74,11 +74,20 @@ class Sim {
   // kinematic tool: spheres at tool_pos, moved linearly toward targets each step
   std::vector<Vec3> tool_pos;
 
+  // grasp state: particles pinned to tool point 0 with fixed offsets while a
+  // grasp is active (the reference pins the k nearest particles to the finger
+  // midpoint with inv mass 0 during gripper pushes, flex_env.py:389-433)
+  std::vector<int> grasp_idx;
+  std::vector<Vec3> grasp_off;
+  std::vector<float> grasp_saved_im;
+
   int n() const { return static_cast<int>(pos.size()); }
 
   void add_particle(Vec3 p, float im);
   void add_distance(int i, int j, float compliance);
   void step(const Vec3* tool_target, int n_tool);
+  int grasp(int k, float max_dist);
+  void release();
 
  private:
   void solve_constraints(float h);

@@ -30,9 +30,9 @@ def gen_episode(data_dir, material, epi_idx, n_pushes, seed,
     bad = False
     while push_idx < n_pushes:
         for attempt in range(MAX_RETRIES):
-            action = env.sample_push()
+            kind, action = env.sample_action()
             before = env.get_positions()
-            positions, eef_states = env.execute_push(action)
+            positions, eef_states = env.execute_action(kind, action)
             if not np.isfinite(positions).all():
                 # simulator blow-up aborts the episode
                 # (reference: flex_env.py:458-460 NaN check)

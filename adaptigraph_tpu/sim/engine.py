@@ -67,6 +67,10 @@ def _load():
     lib.xpbd_create_softbody_points.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
         ctypes.c_float, ctypes.c_int, ctypes.c_float]
+    lib.xpbd_fluid_range.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+    lib.xpbd_grasp.restype = ctypes.c_int
+    lib.xpbd_grasp.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_float]
+    lib.xpbd_release.argtypes = [ctypes.c_void_p]
     lib.xpbd_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -127,6 +131,24 @@ class XPBDScene:
         out = np.empty((self._n_tool, 3), np.float32)
         self._lib.xpbd_get_tool(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
+
+    def fluid_mask(self):
+        """Boolean mask of PBF fluid particles (empty range = no fluid)."""
+        out = (ctypes.c_int * 2)()
+        self._lib.xpbd_fluid_range(self._h, out)
+        mask = np.zeros(self.n_particles, bool)
+        mask[out[0]:out[1]] = True
+        return mask
+
+    def grasp(self, k=5, max_dist=0.1):
+        """Pin the k nearest movable particles to tool point 0 (the
+        reference's gripper pick, flex_env.py:389-433). Returns the number of
+        particles grasped (0 = nothing in reach)."""
+        return self._lib.xpbd_grasp(self._h, int(k), float(max_dist))
+
+    def release(self):
+        """Restore the inv mass of grasped particles (flex_env.py:468-471)."""
+        self._lib.xpbd_release(self._h)
 
     def step(self, tool_target=None):
         if tool_target is None:

@@ -18,6 +18,18 @@ from adaptigraph_tpu.utils.transforms import quat_from_yaw
 PUSH_STEP = 0.02  # tool travel per sim frame
 FRAME_EVERY = 5  # capture cadence (0.1 units of travel per captured frame)
 
+# Per-material action family (reference: flex_env.py:493-521 sample_action —
+# rope/granular push, cloth/bunnybath/multiobj grasp at a boundary point,
+# softbody a 50/50 mix of horizontal pushes and top-down pokes).
+ACTION_KINDS = {
+    "rope": "push",
+    "granular": "push",
+    "cloth": "grasp",
+    "multiobj": "grasp",
+    "bunnybath": "grasp",
+    "softbody": "mixed",
+}
+
 
 class PushEnv:
     def __init__(self, material, seed=0, capture_depth=False, n_cameras=4,
@@ -72,6 +84,59 @@ class PushEnv:
         length = self.rng.uniform(0.6, 1.5)
         end = start + d * length
         return np.array([start[0], start[1], end[0], end[1]], np.float32)
+
+    def sample_action(self):
+        """Material-specific action dispatch (reference: flex_env.py:493-521).
+        Returns (kind, action) where kind in {push, grasp, poke}."""
+        kind = ACTION_KINDS[self.material]
+        if kind == "mixed":
+            kind = "push" if self.rng.rand() > 0.5 else "poke"
+        sampler = {"push": self.sample_push, "grasp": self.sample_grasp,
+                   "poke": self.sample_poke}[kind]
+        return kind, sampler()
+
+    def execute_action(self, kind, action):
+        fn = {"push": self.execute_push, "grasp": self.execute_grasp,
+              "poke": self.execute_poke}[kind]
+        return fn(action)
+
+    def sample_grasp(self):
+        """Pick a boundary particle at an x/z extreme and drag it outward
+        (reference: flex_env.py:997-1050 sample_grasp_actions_corner — the
+        endpoint moves 1.0-1.5 away along the boundary normal, rejected if it
+        leaves the workspace). Returns (x_start, z_start, x_end, z_end)."""
+        pts = self.get_positions()
+        movable = ~self.get_fixed_mask()
+        if self.scene is not None:
+            # exclude fluid particles (bunnybath): grasp targets the body
+            fluid = self.scene.fluid_mask()
+            movable = movable & ~fluid
+        p = pts[movable] if movable.any() else pts
+        for _ in range(100):
+            side = self.rng.randint(4)
+            idx = [np.argmax(p[:, 0]), np.argmin(p[:, 0]),
+                   np.argmax(p[:, 2]), np.argmin(p[:, 2])][side]
+            start = p[idx, [0, 2]].astype(np.float64)
+            normal = np.array([[1, 0], [-1, 0], [0, 1], [0, -1]], np.float64)[side]
+            end = start + normal * self.rng.uniform(0.6, 1.0)
+            if np.abs(end).max() < 2.0:
+                return np.array([start[0], start[1], end[0], end[1]], np.float32)
+        return np.array([start[0], start[1], end[0], end[1]], np.float32)
+
+    def sample_poke(self):
+        """Top-down poke over a random movable particle (reference:
+        flex_env.py:784 sample_top_down_deform_actions). Returns the 6-dim
+        action [x_start, z_start, y_start, x_end, z_end, y_end]."""
+        pts = self.get_positions()
+        movable = ~self.get_fixed_mask()
+        p = pts[movable] if movable.any() else pts
+        i = self.rng.randint(p.shape[0])
+        x, z = p[i, 0], p[i, 2]
+        top = float(p[:, 1].max())
+        y0 = top + 0.3
+        depth = self.rng.uniform(0.1, 0.25)
+        y1 = max(0.05, top - depth)
+        return np.array([x, z, y0, x, z, y1], np.float32)
 
     def _tool_points(self, x, z, theta, y):
         offs = np.asarray(self.geom["offsets"], np.float32)
@@ -137,6 +202,114 @@ class PushEnv:
         self.scene.step(up)
         if self.cameras is not None:
             # (T, n_cams, H, W) float32 depth
+            self._last_depth = np.asarray(frames_depth, np.float32)
+        return np.asarray(frames_pos), np.asarray(frames_eef)
+
+    def execute_grasp(self, action):
+        """Grasp at the start point, lift, carry to the end point, release
+        (reference gripper path flex_env.py:340-480: waypoints
+        [s+0.5y, s, s, e+0.5y, e], pick_k=5 particles pinned to the finger,
+        mass restored on release, then a long settle).
+
+        Returns (positions (T, N, 3), eef_states (T, 1, 14)).
+        """
+        x0, z0, x1, z1 = [float(v) for v in action]
+        theta = np.arctan2(z1 - z0, x1 - x0)
+        pts = self.get_positions()
+        movable = ~self.get_fixed_mask()
+        p = pts[movable] if movable.any() else pts
+        near = np.argmin((p[:, 0] - x0) ** 2 + (p[:, 2] - z0) ** 2)
+        # stop the descent just above tool-particle contact distance so the
+        # kinematic tool doesn't shove the object aside before the pick (the
+        # reference's fingers close AROUND the point, flex_env.py:389-410)
+        pr = float(self.properties.get("particle_radius", 0.03))
+        y_g = max(0.03, float(p[near, 1])) + (self.geom["radius"] + pr) * 0.95
+        y_hi = y_g + 0.5
+
+        frames_pos, frames_eef, frames_depth = [], [], []
+        state = {"prev": None}
+
+        def capture(x, z, y):
+            frames_pos.append(self.get_positions())
+            st = self._eef_state(x, z, theta, y, state["prev"])
+            state["prev"] = st
+            frames_eef.append(st[None])
+            if self.cameras is not None:
+                frames_depth.append([
+                    cam.render_depth(frames_pos[-1], table_axis=1)
+                    for cam in self.cameras])
+
+        def sweep(a, b, capture_frames=True):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            n_steps = max(2, int(np.linalg.norm(b - a) / PUSH_STEP))
+            for s in range(n_steps):
+                t = a + (b - a) * (s + 1) / n_steps
+                self.scene.step(np.asarray([t], np.float32))
+                if capture_frames and (s % FRAME_EVERY == 0 or s == n_steps - 1):
+                    capture(t[0], t[2], t[1])
+
+        # approach above the grasp point, then descend
+        self.scene.set_tool(np.asarray([[x0, y_hi, z0]], np.float32),
+                            radius=self.geom["radius"])
+        sweep([x0, y_hi, z0], [x0, y_g, z0])
+        n_grasped = self.scene.grasp(
+            k=5, max_dist=max(0.15, 2.5 * (self.geom["radius"] + pr)))
+        # carry: lift, translate, lower
+        sweep([x0, y_g, z0], [x0, y_hi, z0])
+        sweep([x0, y_hi, z0], [x1, y_hi, z1])
+        sweep([x1, y_hi, z1], [x1, y_g, z1])
+        self.scene.release()
+        # settle (reference: 200 free steps after release, flex_env.py:474-476)
+        no_tool = self._tool_points(x1, z1, theta, y_hi + 1.0)
+        for s in range(60):
+            self.scene.step(no_tool)
+            if s % 20 == 19:
+                capture(x1, z1, y_hi + 1.0)
+        self._n_grasped = n_grasped
+        if self.cameras is not None:
+            self._last_depth = np.asarray(frames_depth, np.float32)
+        return np.asarray(frames_pos), np.asarray(frames_eef)
+
+    def execute_poke(self, action):
+        """Top-down poke: descend into the object, hold, retreat (reference
+        poke waypoints flex_env.py:344-352: s -> mid -> e -> e -> back -> s).
+
+        ``action`` is [x_start, z_start, y_start, x_end, z_end, y_end].
+        Returns (positions (T, N, 3), eef_states (T, 1, 14)).
+        """
+        x0, z0, y0, x1, z1, y1 = [float(v) for v in action]
+        frames_pos, frames_eef, frames_depth = [], [], []
+        prev_state = [None]
+
+        def capture(x, z, y):
+            frames_pos.append(self.get_positions())
+            st = self._eef_state(x, z, 0.0, y, prev_state[0])
+            prev_state[0] = st
+            frames_eef.append(st[None])
+            if self.cameras is not None:
+                frames_depth.append([
+                    cam.render_depth(frames_pos[-1], table_axis=1)
+                    for cam in self.cameras])
+
+        def sweep(a, b):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            n_steps = max(2, int(np.linalg.norm(b - a) / PUSH_STEP))
+            for s in range(n_steps):
+                t = a + (b - a) * (s + 1) / n_steps
+                self.scene.step(np.asarray([t], np.float32))
+                if s % FRAME_EVERY == 0 or s == n_steps - 1:
+                    capture(t[0], t[2], t[1])
+
+        self.scene.set_tool(np.asarray([[x0, y0, z0]], np.float32),
+                            radius=self.geom["radius"])
+        sweep([x0, y0, z0], [x1, y1, z1])
+        # hold at depth so the material conforms (reference holds at e)
+        for s in range(20):
+            self.scene.step(np.asarray([[x1, y1, z1]], np.float32))
+            if s % FRAME_EVERY == 0:
+                capture(x1, z1, y1)
+        sweep([x1, y1, z1], [x0, y0, z0])
+        if self.cameras is not None:
             self._last_depth = np.asarray(frames_depth, np.float32)
         return np.asarray(frames_pos), np.asarray(frames_eef)
 

@@ -332,3 +332,54 @@ def test_datagen_with_depth_capture(tmp_path):
     assert depth.shape[0] == data["positions"].shape[0]
     cams = np.load(epi / "cameras.npz")
     assert cams["intr"].shape == (4, 4) and cams["R"].shape == (4, 3, 3)
+
+
+@pytest.mark.parametrize("material", ["cloth", "multiobj"])
+def test_grasp_action_carries_boundary_point(material):
+    """Grasp actions (reference: flex_env.py:997 sample_grasp_actions_corner
+    + gripper pick flex_env.py:389-471): the grasped boundary particle must
+    end up near the action endpoint, and mass must be restored afterwards."""
+    from adaptigraph_tpu.sim.env import PushEnv
+
+    env = PushEnv(material, seed=5)
+    env.reset()
+    kind, action = env.sample_action()
+    assert kind == "grasp"
+    before = env.get_positions()
+    pos, eef = env.execute_action(kind, action)
+    assert np.isfinite(pos).all()
+    assert env._n_grasped > 0
+    # the object moved toward the endpoint: min distance from the endpoint to
+    # any particle shrank
+    end = np.asarray([action[2], action[3]])
+    d0 = np.min(np.linalg.norm(before[:, [0, 2]] - end, axis=1))
+    d1 = np.min(np.linalg.norm(pos[-1][:, [0, 2]] - end, axis=1))
+    assert d1 < d0
+    # the grasp lifted particles off the table mid-trajectory
+    assert pos[:, :, 1].max() > before[:, 1].max() + 0.2
+    # release restored every particle's mass (nothing left pinned in the air)
+    movable = ~env.get_fixed_mask()
+    fluid = env.scene.fluid_mask()
+    assert (env.scene.get_inv_mass()[~fluid] > 0).sum() >= movable[~fluid].sum()
+
+
+def test_poke_action_deforms_softbody():
+    """Top-down pokes (reference: flex_env.py:784 sample_top_down_deform
+    _actions): the poked region must deform downward while the tool holds."""
+    from adaptigraph_tpu.sim.env import PushEnv
+
+    env = PushEnv("softbody", seed=11)
+    env.reset()
+    action = env.sample_poke()
+    before = env.get_positions()
+    pos, eef = env.execute_poke(action)
+    assert np.isfinite(pos).all()
+    # particles near the poke axis dipped below their rest height at some
+    # point during the poke
+    xz = np.asarray([action[0], action[1]])
+    near = np.linalg.norm(before[:, [0, 2]] - xz, axis=1) < 0.2
+    assert near.any()
+    dip = (before[near, 1][None] - pos[:, near, 1]).max()
+    assert dip > 0.02, dip
+    # eef keypoints actually moved vertically (poke is a y-axis action)
+    assert eef[:, 0, 1].max() - eef[:, 0, 1].min() > 0.1
