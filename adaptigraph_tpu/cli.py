@@ -142,7 +142,7 @@ def cmd_datagen(args):
     from adaptigraph_tpu.sim.datagen import generate
 
     bad = generate(data_dir, material, n_episodes, n_pushes=n_pushes,
-                   n_workers=n_workers, seed=seed)
+                   n_workers=n_workers, seed=seed, capture_depth=args.capture)
     print(f"generated {n_episodes} episodes ({len(bad)} bad) -> {data_dir}")
 
 
@@ -306,6 +306,8 @@ def main(argv=None):
     d.add_argument("--n_pushes", type=int)
     d.add_argument("--n_workers", type=int)
     d.add_argument("--seed", type=int)
+    d.add_argument("--capture", action="store_true",
+                   help="record 4-camera RGB-D observations per frame")
     d.set_defaults(fn=cmd_datagen)
 
     pr = sub.add_parser("preprocess", help="episodes -> training artifacts")

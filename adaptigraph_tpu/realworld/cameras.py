@@ -74,6 +74,52 @@ class VirtualCamera:
         return np.where(np.isfinite(depth), depth, far).astype(np.float32)
 
 
+    def render_rgbd(self, pts_world, colors=None, splat_px=2, table_axis=1,
+                    table_offset=0.0, far=100.0):
+        """Z-buffered point-splat RGB-D (reference capture is 720x720 RGB-D
+        from FleX's GL renderer, pyflex.cpp:3537 + flex_env.py:173-236; here
+        points are splatted far-to-near with per-particle colors and a
+        distance-shaded table plane).
+
+        Returns (rgb (H, W, 3) uint8, depth (H, W) float32).
+        """
+        H, W = self.height, self.width
+        depth = self.render_depth(pts_world, splat_px=splat_px,
+                                  table_axis=table_axis,
+                                  table_offset=table_offset, far=far)
+        # background: flat table, shaded slightly by view distance
+        shade = np.clip(1.0 - 0.015 * (depth - depth.min()), 0.6, 1.0)
+        rgb = (np.stack([200 * shade, 198 * shade, 192 * shade], axis=-1)
+               ).astype(np.float32)
+        rgb[depth >= far] = (150.0, 155.0, 165.0)  # no-hit region
+
+        pts_world = np.asarray(pts_world, np.float32)
+        if len(pts_world):
+            if colors is None:
+                colors = np.full((len(pts_world), 3), 90.0, np.float32)
+            colors = np.asarray(colors, np.float32)
+            uv, z = self.project(pts_world)
+            ok = z > 1e-3
+            uv, z, col = uv[ok], z[ok], colors[ok]
+            order = np.argsort(-z)  # paint far to near so near wins
+            ui = np.round(uv[order, 0]).astype(int)
+            vi = np.round(uv[order, 1]).astype(int)
+            zo, co = z[order], col[order]
+            # simple depth cue: farther particles a touch darker
+            cue = np.clip(1.05 - 0.02 * (zo - zo.min()), 0.7, 1.0)[:, None]
+            co = co * cue
+            for du in range(-splat_px, splat_px + 1):
+                for dv in range(-splat_px, splat_px + 1):
+                    uu = ui + du
+                    vv = vi + dv
+                    inb = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
+                    # only paint where this point is the z-buffer winner
+                    # (within half a splat of the recorded depth)
+                    near = zo[inb] <= depth[vv[inb], uu[inb]] + 0.05
+                    rgb[vv[inb][near], uu[inb][near]] = co[inb][near]
+        return np.clip(rgb, 0, 255).astype(np.uint8), depth
+
+
 def _look_at_rotation(pos, target, up=(0.0, 1.0, 0.0)):
     """cam->world rotation with +z toward the target, +y roughly down-view
     (OpenCV convention: x right, y down, z forward)."""

@@ -19,6 +19,7 @@ void Sim::add_particle(Vec3 p, float im) {
   prev.push_back(p);
   vel.push_back({0, 0, 0});
   inv_mass.push_back(im);
+  instance.push_back(instance_tag);
 }
 
 void Sim::add_distance(int i, int j, float compliance) {
@@ -475,6 +476,7 @@ Sim* make_granular(const float* p, int np_, uint64_t seed) {
         Vec3 c{-dist_r + (gx + 0.5f) * cell_sz + J(rng),
                s->params.particle_radius + layer * cell_sz + 0.001f,
                -dist_r + (gz + 0.5f) * cell_sz + J(rng)};
+        s->instance_tag = placed;  // each grain is its own instance
         s->add_particle(c, 1.0f / std::max(0.01f, scale));
         ++placed;
       }
@@ -578,6 +580,7 @@ Sim* make_multiobj(const float* p, int np_, uint64_t seed) {
   std::uniform_real_distribution<float> U(-area_r, area_r);
   std::uniform_int_distribution<int> S3(2, 3);
   for (int o = 0; o < n_obj; ++o) {
+    s->instance_tag = o;
     float cx = U(rng), cz = U(rng);
     int sx = S3(rng), sy = S3(rng), sz = S3(rng);
     Cluster cl;
@@ -649,6 +652,7 @@ Sim* make_bunnybath(const float* p, int np_, uint64_t seed) {
   }
   if (body_scale > 0) {
     // floating rigid blob ("bunny") dropped into the bath
+    s->instance_tag = 1;  // fluid = instance 0, body = instance 1
     Cluster cl;
     int m = 3;
     float sp = body_scale;
@@ -766,6 +770,11 @@ void xpbd_get_tool(void* h, float* out) {
 
 void xpbd_step(void* h, const float* tool_target, int n_tool) {
   static_cast<xpbd::Sim*>(h)->step(reinterpret_cast<const xpbd::Vec3*>(tool_target), n_tool);
+}
+
+void xpbd_get_instance(void* h, int* out) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  std::memcpy(out, s->instance.data(), s->n() * sizeof(int));
 }
 
 void xpbd_fluid_range(void* h, int* out2) {

@@ -57,6 +57,11 @@ class Sim {
 
   std::vector<Vec3> pos, prev, vel;
   std::vector<float> inv_mass;
+  // particle -> object-instance id (reference: the custom FleX buffer
+  // particle2objInstance, pyflex.cpp:216/:905/:2926); builders set
+  // instance_tag before adding each object's particles
+  std::vector<int> instance;
+  int instance_tag = 0;
   std::vector<DistanceConstraint> constraints;
   std::vector<Cluster> clusters;
   bool self_collision = false;

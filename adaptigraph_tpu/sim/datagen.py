@@ -53,6 +53,7 @@ def gen_episode(data_dir, material, epi_idx, n_pushes, seed,
             action,
             observations=env.last_observations(),
             inv_weight_is_0=inv0,
+            particle_2_instance=env.scene.get_instance(),
         )
     sim_io.store_properties(epi_dir, env.properties)
     cams = env.camera_params()

@@ -67,6 +67,7 @@ def _load():
     lib.xpbd_create_softbody_points.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
         ctypes.c_float, ctypes.c_int, ctypes.c_float]
+    lib.xpbd_get_instance.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
     lib.xpbd_fluid_range.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
     lib.xpbd_grasp.restype = ctypes.c_int
     lib.xpbd_grasp.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_float]
@@ -130,6 +131,13 @@ class XPBDScene:
     def get_tool(self):
         out = np.empty((self._n_tool, 3), np.float32)
         self._lib.xpbd_get_tool(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
+    def get_instance(self):
+        """Particle -> object-instance id (reference:
+        pyflex_get_particle_2_obj_instance, pyflex.cpp:2926)."""
+        out = np.empty(self.n_particles, np.int32)
+        self._lib.xpbd_get_instance(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return out
 
     def fluid_mask(self):

@@ -31,6 +31,17 @@ ACTION_KINDS = {
 }
 
 
+# base particle color per material (uint8 RGB); instances are re-hued
+MATERIAL_BASE_RGB = {
+    "rope": (214, 84, 48),
+    "granular": (170, 120, 60),
+    "cloth": (60, 150, 160),
+    "softbody": (220, 180, 60),
+    "multiobj": (90, 110, 200),
+    "bunnybath": (80, 140, 220),
+}
+
+
 class PushEnv:
     def __init__(self, material, seed=0, capture_depth=False, n_cameras=4,
                  img_size=240):
@@ -40,9 +51,9 @@ class PushEnv:
         self.geom = PUSHER_GEOMETRY[material]
         self.scene = None
         self.properties = None
-        # optional multi-view depth capture per stored frame (the reference
-        # records 4x 720x720 RGB-D per frame, flex_env.py:173-236; RGB needs
-        # a shader pipeline, depth is what the learning stack consumes)
+        # optional multi-view RGB-D capture per stored frame (the reference
+        # records 4x 720x720 RGB-D per frame, flex_env.py:173-236; color is
+        # point-splat rendered with per-instance hues, depth z-buffered)
         self.cameras = None
         if capture_depth:
             from adaptigraph_tpu.realworld.cameras import make_multiview_cameras
@@ -56,10 +67,35 @@ class PushEnv:
         name, params, props = SCENE_SAMPLERS[self.material](self.rng)
         self.scene = XPBDScene(name, params, seed=int(self.rng.randint(1 << 31)))
         self.properties = props
+        self._colors = self.particle_colors()
         no_tool = np.zeros((0, 3), np.float32)
         for _ in range(30):
             self.scene.step(no_tool)
         return self.get_positions()
+
+    def particle_colors(self):
+        """Per-particle render colors: material base hue, rotated per object
+        instance (golden-angle hue walk), fluid tinted blue, fixed particles
+        darkened."""
+        base = np.asarray(MATERIAL_BASE_RGB[self.material], np.float32)
+        inst = self.scene.get_instance()
+        colors = np.tile(base, (len(inst), 1))
+        if inst.max() > 0:
+            # rotate hue per instance so objects are distinguishable
+            phase = (inst * 0.61803398875) % 1.0
+            rot = np.stack([np.cos(2 * np.pi * phase),
+                            np.cos(2 * np.pi * (phase + 1 / 3)),
+                            np.cos(2 * np.pi * (phase + 2 / 3))], axis=1)
+            colors = np.clip(colors + 55.0 * rot, 30, 245)
+        fluid = self.scene.fluid_mask()
+        colors[fluid] = (80, 140, 220)
+        colors[self.get_fixed_mask()] *= 0.55
+        return colors.astype(np.float32)
+
+    def _render_views(self, pts):
+        """(rgb, depth) per camera for one frame."""
+        return [cam.render_rgbd(pts, self._colors, table_axis=1)
+                for cam in self.cameras]
 
     def get_positions(self):
         return self.scene.get_positions()
@@ -179,7 +215,7 @@ class PushEnv:
 
         total = np.hypot(x1 - x0, z1 - z0)
         n_steps = max(2, int(total / PUSH_STEP))
-        frames_pos, frames_eef, frames_depth = [], [], []
+        frames_pos, frames_eef, frames_rgbd = [], [], []
         prev_state = None
         for s in range(n_steps):
             frac = (s + 1) / n_steps
@@ -193,16 +229,11 @@ class PushEnv:
                 prev_state = st
                 frames_eef.append(st[None])
                 if self.cameras is not None:
-                    frames_depth.append([
-                        cam.render_depth(frames_pos[-1], table_axis=1)
-                        for cam in self.cameras
-                    ])
+                    frames_rgbd.append(self._render_views(frames_pos[-1]))
         # retreat the tool upward so the next push starts clean
         up = self._tool_points(x1, z1, theta, y + 1.0)
         self.scene.step(up)
-        if self.cameras is not None:
-            # (T, n_cams, H, W) float32 depth
-            self._last_depth = np.asarray(frames_depth, np.float32)
+        self._store_rgbd(frames_rgbd)
         return np.asarray(frames_pos), np.asarray(frames_eef)
 
     def execute_grasp(self, action):
@@ -226,7 +257,7 @@ class PushEnv:
         y_g = max(0.03, float(p[near, 1])) + (self.geom["radius"] + pr) * 0.95
         y_hi = y_g + 0.5
 
-        frames_pos, frames_eef, frames_depth = [], [], []
+        frames_pos, frames_eef, frames_rgbd = [], [], []
         state = {"prev": None}
 
         def capture(x, z, y):
@@ -235,9 +266,7 @@ class PushEnv:
             state["prev"] = st
             frames_eef.append(st[None])
             if self.cameras is not None:
-                frames_depth.append([
-                    cam.render_depth(frames_pos[-1], table_axis=1)
-                    for cam in self.cameras])
+                frames_rgbd.append(self._render_views(frames_pos[-1]))
 
         def sweep(a, b, capture_frames=True):
             a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
@@ -266,8 +295,7 @@ class PushEnv:
             if s % 20 == 19:
                 capture(x1, z1, y_hi + 1.0)
         self._n_grasped = n_grasped
-        if self.cameras is not None:
-            self._last_depth = np.asarray(frames_depth, np.float32)
+        self._store_rgbd(frames_rgbd)
         return np.asarray(frames_pos), np.asarray(frames_eef)
 
     def execute_poke(self, action):
@@ -278,7 +306,7 @@ class PushEnv:
         Returns (positions (T, N, 3), eef_states (T, 1, 14)).
         """
         x0, z0, y0, x1, z1, y1 = [float(v) for v in action]
-        frames_pos, frames_eef, frames_depth = [], [], []
+        frames_pos, frames_eef, frames_rgbd = [], [], []
         prev_state = [None]
 
         def capture(x, z, y):
@@ -287,9 +315,7 @@ class PushEnv:
             prev_state[0] = st
             frames_eef.append(st[None])
             if self.cameras is not None:
-                frames_depth.append([
-                    cam.render_depth(frames_pos[-1], table_axis=1)
-                    for cam in self.cameras])
+                frames_rgbd.append(self._render_views(frames_pos[-1]))
 
         def sweep(a, b):
             a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
@@ -309,17 +335,26 @@ class PushEnv:
             if s % FRAME_EVERY == 0:
                 capture(x1, z1, y1)
         sweep([x1, y1, z1], [x0, y0, z0])
-        if self.cameras is not None:
-            self._last_depth = np.asarray(frames_depth, np.float32)
+        self._store_rgbd(frames_rgbd)
         return np.asarray(frames_pos), np.asarray(frames_eef)
 
+    def _store_rgbd(self, frames_rgbd):
+        """frames_rgbd: list over T of list over cams of (rgb, depth)."""
+        if self.cameras is None:
+            return
+        self._last_color = np.asarray(
+            [[c for c, _ in frame] for frame in frames_rgbd], np.uint8)
+        self._last_depth = np.asarray(
+            [[d for _, d in frame] for frame in frames_rgbd], np.float32)
+
     def last_observations(self):
-        """Per-camera depth of the last executed push as the h5
+        """Per-camera RGB + depth of the last executed action as the h5
         ``observations`` dict (reference schema: data.py:4-45)."""
         if self.cameras is None or not hasattr(self, "_last_depth"):
             return None
-        return {"depth": {f"cam_{i}": self._last_depth[:, i]
-                          for i in range(len(self.cameras))}}
+        cams = range(len(self.cameras))
+        return {"color": {f"cam_{i}": self._last_color[:, i] for i in cams},
+                "depth": {f"cam_{i}": self._last_depth[:, i] for i in cams}}
 
     def camera_params(self):
         if self.cameras is None:

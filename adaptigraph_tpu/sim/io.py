@@ -10,6 +10,7 @@ Schema per push file ``<epi:06d>/<push:02d>.h5``::
     observations/color/cam_k     (T, H, W, 3) uint8   [optional]
     observations/depth/cam_k     (T, H, W) uint16     [optional]
     particle_inv_weight_is_0     (T, N, 1) bool       [optional]
+    particle_2_instance          (N,) int32           [optional]
 
 Physics properties are stored per episode as ``property_params.json``
 (the reference used a pickle; json keeps it language-neutral for the C++
@@ -23,7 +24,8 @@ import h5py
 import numpy as np
 
 
-def store_episode_step(filename, positions, eef_states, action, observations=None, inv_weight_is_0=None):
+def store_episode_step(filename, positions, eef_states, action, observations=None, inv_weight_is_0=None,
+                       particle_2_instance=None):
     with h5py.File(filename, "w") as f:
         f.create_dataset("info/n_cams", data=0 if observations is None else len(observations.get("color", {})))
         f.create_dataset("info/timestamp", data=positions.shape[0])
@@ -37,6 +39,10 @@ def store_episode_step(filename, positions, eef_states, action, observations=Non
                     f.create_dataset(f"observations/{kind}/{cam}", data=arr)
         if inv_weight_is_0 is not None:
             f.create_dataset("particle_inv_weight_is_0", data=np.asarray(inv_weight_is_0, bool))
+        if particle_2_instance is not None:
+            # particle -> object instance id (reference: particle_2_obj_inst
+            # via pyflex_get_particle_2_obj_instance, pyflex.cpp:2926)
+            f.create_dataset("particle_2_instance", data=np.asarray(particle_2_instance, np.int32))
 
 
 def load_episode_step(filename):

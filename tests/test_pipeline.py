@@ -330,8 +330,37 @@ def test_datagen_with_depth_capture(tmp_path):
     depth = data["observations"]["depth"]["cam_0"]
     assert depth.ndim == 3 and np.isfinite(depth).all()
     assert depth.shape[0] == data["positions"].shape[0]
+    color = data["observations"]["color"]["cam_0"]
+    assert color.shape == depth.shape + (3,) and color.dtype == np.uint8
+    # the rendered object is visible: some pixels differ from the background
+    assert len(np.unique(color.reshape(-1, 3), axis=0)) > 10
+    inst = data["particle_2_instance"]
+    assert inst.shape == (data["positions"].shape[1],)
     cams = np.load(epi / "cameras.npz")
     assert cams["intr"].shape == (4, 4) and cams["R"].shape == (4, 3, 3)
+
+
+def test_instance_map_per_material():
+    """particle_2_instance (reference: pyflex_get_particle_2_obj_instance,
+    pyflex.cpp:2926): multiobj tags each body, granular each grain,
+    bunnybath separates fluid (0) from the floating body (1)."""
+    from adaptigraph_tpu.sim.env import PushEnv
+
+    env = PushEnv("multiobj", seed=4)
+    env.reset()
+    inst = env.scene.get_instance()
+    assert inst.min() == 0 and inst.max() >= 2  # >= 3 objects sampled
+
+    env = PushEnv("bunnybath", seed=4)
+    env.reset()
+    inst = env.scene.get_instance()
+    fluid = env.scene.fluid_mask()
+    assert (inst[fluid] == 0).all() and (inst[~fluid] == 1).all()
+
+    env = PushEnv("granular", seed=4)
+    env.reset()
+    inst = env.scene.get_instance()
+    assert len(np.unique(inst)) == env.scene.n_particles
 
 
 @pytest.mark.parametrize("material", ["cloth", "multiobj"])
