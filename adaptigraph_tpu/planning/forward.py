@@ -173,10 +173,12 @@ def dynamics_rollout(params, state, action_seqs, physics_param, cfg: DynamicsCon
     return {"state_seqs": state_seqs, "action_seqs": decoded}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_fused", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_fused", "compute_dtype",
+                                              "dynamic_substeps"))
 def dynamics_rollout_batched(params, state, action_seqs, physics_param,
                              cfg: DynamicsConfig, use_fused=True,
-                             compute_dtype=jnp.bfloat16):
+                             compute_dtype=jnp.bfloat16,
+                             dynamic_substeps=True):
     """Batch-level MPPI forward model; semantics of :func:`dynamics_rollout`
     but with the whole sample batch advanced together per substep, so the
     forward can run through the fused Pallas kernel
@@ -185,6 +187,13 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
 
     With ``use_fused=False`` it uses the XLA ``forward_batch`` (autodiff-able,
     CPU-testable); both paths are parity-tested vs ``dynamics_rollout``.
+
+    ``dynamic_substeps``: run each look-ahead step's substep loop as a
+    ``lax.while_loop`` to the BATCH max repeat instead of a fixed scan to the
+    static ``max_repeat`` bound. Identical results (substeps past a sample's
+    own repeat only advance its unused history); when the caller sorts
+    samples by repeat so low-repeat samples share a chunk (mppi_solve does),
+    a uniform 5..15-repeat budget drops ~30% of the substep work.
     """
     from adaptigraph_tpu.models.gnn import forward_batch
     from adaptigraph_tpu.ops.fused_gnn import fused_forward_batch
@@ -210,9 +219,16 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     # radius∧topk graph itself, skipping the XLA edge pass entirely
     kernel_edges = use_fused and edge.policy == "none"
     if kernel_edges:
+        # Larger sample blocks amortize weight matmuls over more edge rows
+        # (~11% faster at rope scale) but VMEM grows with S*K*Np; ~6000 edge
+        # rows is the empirical v5e scoped-VMEM ceiling (granular S=4 at 8960
+        # rows exceeds the 16 MB limit by 0.7 MB).
+        Np8 = (gnn.n_nodes + 7) // 8 * 8
+        spb = next((s for s in (4, 2, 1) if s * edge.topk * Np8 <= 6000), 1)
         fwd = lambda g: fused_forward_batch(
             params, g, gnn, compute_dtype=compute_dtype, build_edges=True,
-            adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk)
+            adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,
+            samples_per_block=spb)
     elif use_fused:
         fwd = lambda g: fused_forward_batch(
             params, g, gnn, compute_dtype=compute_dtype,
@@ -258,10 +274,25 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
             hist = jnp.concatenate([hist[:, 1:], nxt[:, None]], axis=1)
             return (hist, recorded), None
 
-        (hist, obj), _ = jax.lax.scan(
-            substep, (hist, obj + 0.0 * decoded[:, li, :1, None]),
-            jnp.arange(1, cfg.max_repeat + 1)
-        )
+        recorded0 = obj + 0.0 * decoded[:, li, :1, None]
+        if dynamic_substeps:
+            # clamp to the static bound for exact scan-path parity
+            r_max = jnp.minimum(jnp.max(repeat[:, li]), cfg.max_repeat)
+
+            def w_cond(carry):
+                return carry[2] <= r_max
+
+            def w_body(carry):
+                hist, recorded, ai = carry
+                (hist, recorded), _ = substep((hist, recorded), ai)
+                return (hist, recorded, ai + 1)
+
+            hist, obj, _ = jax.lax.while_loop(
+                w_cond, w_body, (hist, recorded0, jnp.int32(1)))
+        else:
+            (hist, obj), _ = jax.lax.scan(
+                substep, (hist, recorded0), jnp.arange(1, cfg.max_repeat + 1)
+            )
         outs.append(obj)
     state_seqs = jnp.stack(outs, axis=1)  # (B, L, max_nobj, 3)
     return {"state_seqs": state_seqs, "action_seqs": decoded}

@@ -27,6 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from adaptigraph_tpu.planning.actions import (
     clip_actions,
+    decode_action,
     optimize_action_mppi,
     sample_action_seq,
 )
@@ -82,11 +83,28 @@ def make_mppi_solver(
         r = reward_fn(out["state_seqs"], act_chunk, state_cur)
         return r, out["state_seqs"][:, -1]
 
+    def sort_by_repeat(act_seqs, interleave=1):
+        """Order samples by total push repeats so each chunk's dynamic
+        substep loop (forward.dynamics_rollout_batched) runs only to its own
+        max — ~30% less substep work for a uniform 5..15 repeat budget, with
+        the exact same sample set (MPPI's softmax update and argmax are
+        order-invariant). ``interleave`` > 1 deals strata round-robin across
+        that many devices so the sharded path stays load-balanced."""
+        _, repeat = decode_action(act_seqs, mcfg.push_length)
+        order = jnp.argsort(jnp.sum(repeat, axis=1))
+        if interleave > 1:
+            # chunk c -> device c % n_dev: each device gets an even spread
+            perm = np.arange(n_chunks).reshape(-1, interleave).T.reshape(-1)
+            order = order.reshape(n_chunks, mcfg.n_sample_chunk)[perm].reshape(-1)
+        return act_seqs[order]
+
     def all_rewards(params, state_cur, act_seqs, physics_param):
         """(n_sample, L, 4) -> rewards (n_sample,), finals (n_sample, nobj, 3)."""
+        act_seqs = sort_by_repeat(act_seqs)
         chunks = act_seqs.reshape(n_chunks, mcfg.n_sample_chunk, mcfg.n_look_ahead, 4)
         r, f = jax.lax.map(lambda a: chunk_rewards(params, state_cur, a, physics_param), chunks)
-        return r.reshape(mcfg.n_sample), f.reshape(mcfg.n_sample, *f.shape[2:])
+        return (act_seqs, r.reshape(mcfg.n_sample),
+                f.reshape(mcfg.n_sample, *f.shape[2:]))
 
     if mesh is not None:
         n_dev = mesh.devices.size
@@ -94,6 +112,8 @@ def make_mppi_solver(
         local_chunks = n_chunks // n_dev
 
         def sharded_rewards(params, state_cur, act_seqs, physics_param):
+            act_seqs = sort_by_repeat(act_seqs, interleave=n_dev)
+
             def body(p, s, a, ph):
                 chunks = a.reshape(local_chunks, mcfg.n_sample_chunk, mcfg.n_look_ahead, 4)
                 r, f = jax.lax.map(lambda c: chunk_rewards(p, s, c, ph), chunks)
@@ -102,12 +122,13 @@ def make_mppi_solver(
                     f.reshape(local_chunks * mcfg.n_sample_chunk, *f.shape[2:]),
                 )
 
-            return jax.shard_map(
+            r, f = jax.shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(P(), P(), P(axis), P()),
                 out_specs=(P(axis), P(axis)),
             )(params, state_cur, act_seqs, physics_param)
+            return act_seqs, r, f
 
         rewards_fn = sharded_rewards
     else:
@@ -120,7 +141,7 @@ def make_mppi_solver(
             iter_index=iter_index, noise_level=mcfg.noise_level,
             push_length=mcfg.push_length,
         )
-        rewards, finals = rewards_fn(params, state_cur, act_seqs, physics_param)
+        act_seqs, rewards, finals = rewards_fn(params, state_cur, act_seqs, physics_param)
         new_seq = optimize_action_mppi(
             act_seqs, rewards, mcfg.reward_weight, lower, upper, mcfg.push_length
         )
