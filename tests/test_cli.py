@@ -95,7 +95,8 @@ def test_config_validation():
     from adaptigraph_tpu.utils.validate import ConfigError, validate_dynamics_config
 
     # all shipped configs must validate
-    for name in ("rope", "granular", "cloth", "softbody"):
+    for name in ("rope", "granular", "cloth", "softbody", "bunnybath",
+                 "multiobj"):
         load_dynamics_config(name)
     for name in ("rope", "granular", "cloth"):
         load_planning_config(name)
