@@ -294,6 +294,41 @@ def cmd_demo_ppo(args):
     print(f"physics estimate: {est} (error {err:.5f} <- init {err0:.5f})")
 
 
+def cmd_perception(args):
+    """Perception utilities (reference: src/planning/perception.py:428-444
+    main — --calibrate / --construct_goal). Hardware-free: runs against the
+    sim-backed real environment; the RealEnv hardware path is SDK-gated."""
+    from adaptigraph_tpu.realworld.env import SimRealEnv
+    from adaptigraph_tpu.realworld.perception import (
+        PerceptionModule,
+        construct_goal_from_perception,
+        get_state_cur,
+    )
+
+    env = SimRealEnv(material=args.material, seed=args.seed)
+    pm = PerceptionModule(stride=2)
+    if args.construct_goal:
+        goal = construct_goal_from_perception(env, pm)
+        np.savez(args.out, goal=goal)
+        print(f"captured goal point cloud ({goal.shape[0]} pts) -> {args.out}")
+    elif args.calibrate:
+        # calibration check: fuse the 4 camera views and compare the
+        # perceived state to the simulator ground truth (the reference's
+        # calibrate() is ArUco-based and needs hardware; here the extrinsics
+        # are exact, so residual error measures the perception stack itself)
+        state, _ = get_state_cur(env, pm)
+        gt = env.get_particles_sim()
+        import jax.numpy as jnp
+
+        from adaptigraph_tpu.ops.costs import chamfer
+
+        err = float(chamfer(jnp.asarray(state), jnp.asarray(gt)))
+        print(f"calibration check: {state.shape[0]} perceived keypoints, "
+              f"chamfer to ground truth {err:.4f} (sim units)")
+    else:
+        print("please specify --calibrate or --construct_goal")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="adaptigraph_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -362,6 +397,14 @@ def main(argv=None):
     dp.add_argument("--epoch", type=int)
     dp.add_argument("--iterations", type=int, default=50)
     dp.set_defaults(fn=cmd_demo_ppo)
+
+    pc = sub.add_parser("perception", help="goal capture / calibration check")
+    pc.add_argument("--construct_goal", action="store_true")
+    pc.add_argument("--calibrate", action="store_true")
+    pc.add_argument("--material", default="rope")
+    pc.add_argument("--seed", type=int, default=0)
+    pc.add_argument("--out", default="goal.npz")
+    pc.set_defaults(fn=cmd_perception)
 
     args = p.parse_args(argv)
     args.fn(args)

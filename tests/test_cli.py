@@ -118,3 +118,16 @@ def test_metrics_logger(tmp_path):
     assert len(recs) == 2
     assert recs[0]["tag"] == "train" and recs[0]["loss"] == 0.5
     assert recs[1]["err"] == 0.1
+
+
+def test_perception_cli(tmp_path):
+    """Goal capture + calibration check (reference: perception.py:428-444
+    main with --calibrate / --construct_goal)."""
+    out = tmp_path / "goal.npz"
+    cli.main(["perception", "--construct_goal", "--material", "rope",
+              "--out", str(out)])
+    import numpy as np
+
+    goal = np.load(out)["goal"]
+    assert goal.ndim == 2 and goal.shape[1] == 3 and len(goal) > 10
+    cli.main(["perception", "--calibrate", "--material", "rope"])
