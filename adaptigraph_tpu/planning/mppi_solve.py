@@ -150,18 +150,23 @@ def make_mppi_solver(
 
     def solve(params, state_cur, act_seq, key, physics_param):
         """Host loop over fused iterations; tracks the best sampled sequence
-        across iterations (planner.py:253-266)."""
-        best_seq, best_reward, best_final = None, -np.inf, None
+        across iterations (planner.py:253-266). Best tracking stays ON DEVICE
+        (jnp.where) — a float() compare here costs a ~100 ms host round trip
+        per update iteration through the remote-TPU path."""
+        best_seq, best_reward, best_final = None, None, None
         for i in range(mcfg.n_update_iter):
             key, k = jax.random.split(key)
             # iter_index is static: only 0 vs nonzero changes the program
             act_seq, it_seq, it_reward, it_final = solve_iter(
                 params, state_cur, act_seq, k, physics_param, min(i, 1)
             )
-            it_reward = float(it_reward)
-            if best_seq is None or it_reward > best_reward:
-                best_seq, best_reward = it_seq, it_reward
-                best_final = it_final
+            if best_seq is None:
+                best_seq, best_reward, best_final = it_seq, it_reward, it_final
+            else:
+                better = it_reward > best_reward
+                best_seq = jnp.where(better, it_seq, best_seq)
+                best_final = jnp.where(better, it_final, best_final)
+                best_reward = jnp.maximum(it_reward, best_reward)
         return {
             "act_seq": best_seq,
             "mppi_seq": act_seq,
