@@ -28,6 +28,7 @@ ACTION_KINDS = {
     "multiobj": "grasp",
     "bunnybath": "grasp",
     "softbody": "mixed",
+    "rigid": "push",
 }
 
 
@@ -39,6 +40,7 @@ MATERIAL_BASE_RGB = {
     "softbody": (220, 180, 60),
     "multiobj": (90, 110, 200),
     "bunnybath": (80, 140, 220),
+    "rigid": (140, 140, 150),
 }
 
 

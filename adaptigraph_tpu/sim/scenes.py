@@ -112,6 +112,25 @@ def multiobj_scene(rng):
     return "multiobj", scene_params, properties
 
 
+def rigid_scene(rng):
+    """Rigid debris pieces (reference: scenes.py:363 rigid_scene -> debris.h,
+    env_idx 41 — a stub sampler in the reference; here it reuses the
+    multiobj builder with many small fully-rigid pieces)."""
+    n_objects = rng.randint(6, 12)
+    obj_scale = rng.uniform(0.06, 0.1)
+    area_r = rng.uniform(0.5, 0.9)
+    friction = rng.uniform(0.3, 0.7)
+    scene_params = [n_objects, obj_scale, area_r, friction]
+    properties = {
+        "particle_radius": float(0.45 * obj_scale),
+        "n_objects": int(n_objects),
+        "obj_scale": float(obj_scale),
+        "dynamic_friction": float(friction),
+        "stiffness": 1.0,
+    }
+    return "multiobj", scene_params, properties
+
+
 def bunnybath_scene(rng):
     """Fluid bath + rigid body; the sampled physics parameter is viscosity
     (reference: scenes.py:370 yz_bunnybath_scene)."""
@@ -138,6 +157,7 @@ SCENE_SAMPLERS = {
     "softbody": softbody_scene,
     "multiobj": multiobj_scene,
     "bunnybath": bunnybath_scene,
+    "rigid": rigid_scene,
 }
 
 # pusher geometry per material (reference: config/dynamics/*.yaml eef section
@@ -148,6 +168,7 @@ PUSHER_GEOMETRY = {
     "cloth": {"offsets": [0.0], "radius": 0.06, "n_eef": 1},
     "softbody": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
     "multiobj": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
+    "rigid": {"offsets": [-0.5, -0.25, 0.0, 0.25, 0.5], "radius": 0.08, "n_eef": 5},
     "bunnybath": {"offsets": [0.0], "radius": 0.1, "n_eef": 1},
 }
 
@@ -159,5 +180,6 @@ EEF_OFFSETS = {
     "cloth": [[0.0, 0.0, 0.0]],
     "softbody": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
     "multiobj": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
+    "rigid": [[off, 0.0, 0.0] for off in [-0.5, -0.25, 0.0, 0.25, 0.5]],
     "bunnybath": [[0.0, 0.0, 0.0]],
 }

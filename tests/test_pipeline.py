@@ -412,3 +412,20 @@ def test_poke_action_deforms_softbody():
     assert dip > 0.02, dip
     # eef keypoints actually moved vertically (poke is a y-axis action)
     assert eef[:, 0, 1].max() - eef[:, 0, 1].min() > 0.1
+
+
+def test_rigid_debris_material():
+    """'rigid' material (reference: flex_scene.py:32-35 -> debris.h +
+    scenes.py:363 rigid_scene): many small fully-rigid pieces, pushed with
+    the 5-point board."""
+    from adaptigraph_tpu.sim.env import PushEnv
+
+    env = PushEnv("rigid", seed=1)
+    p0 = env.reset()
+    assert env.scene.get_instance().max() >= 5  # >= 6 pieces
+    kind, a = env.sample_action()
+    assert kind == "push"
+    pos, eef = env.execute_action(kind, a)
+    assert np.isfinite(pos).all()
+    assert np.abs(pos[-1] - p0).mean() > 1e-3
+    assert eef.shape[1] == 1 and eef.shape[2] == 14
