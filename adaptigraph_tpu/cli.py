@@ -186,8 +186,11 @@ def cmd_train(args):
     prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
     out_dir = args.out_dir or config["train_config"]["out_dir"]
     ratio = dc["ratio"]
-    tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size)
-    va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size)
+    nw = args.num_workers  # reference: DataLoader(num_workers=8), train.py:48-53
+    tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size,
+                     num_workers=nw)
+    va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size,
+                     num_workers=0)
 
     mesh = None
     if args.n_devices > 1:
@@ -359,6 +362,9 @@ def main(argv=None):
     t.add_argument("--iters", type=int, help="train iters per epoch override")
     t.add_argument("--batch_size", type=int)
     t.add_argument("--n_devices", type=int, default=1)
+    t.add_argument("--num_workers", type=int, default=4,
+                   help="batch-assembly worker processes (reference: "
+                        "DataLoader num_workers=8)")
     t.add_argument("--resume", action="store_true",
                    help="restore latest params + optimizer state from out_dir")
     t.set_defaults(fn=cmd_train)

@@ -104,19 +104,56 @@ class DynDataset:
         )
 
 
-class BatchLoader:
-    """Infinite shuffled batch iterator with one-batch background prefetch
-    (the TPU-era stand-in for ``DataLoader(num_workers=8)`` +
-    ``dataloader_wrapper``, reference: train.py:48-55)."""
+def _mp_loader_worker(dataset, batch_size, seed, q, stop):
+    rng = np.random.RandomState(seed)
+    while not stop.is_set():
+        idxs = rng.randint(0, len(dataset), size=batch_size)
+        batch = collate([dataset.sample(int(i), rng) for i in idxs])
+        while not stop.is_set():
+            try:
+                q.put(batch, timeout=1.0)
+                break
+            except queue.Full:
+                continue
 
-    def __init__(self, dataset: DynDataset, batch_size, seed=0, prefetch=2):
+
+class BatchLoader:
+    """Infinite shuffled batch iterator (the TPU-era stand-in for
+    ``DataLoader(num_workers=8)`` + ``dataloader_wrapper``, reference:
+    train.py:48-55).
+
+    ``num_workers=0`` assembles batches in one background thread;
+    ``num_workers>=1`` forks that many worker *processes* (host batch
+    assembly is GIL-bound Python at ~130 ms per batch-128 at rope scale —
+    a single thread throttles a ~18 ms jitted train step). Each worker
+    samples independently with its own seed, statistically equivalent to
+    the reference's shuffled epoch for with-replacement training."""
+
+    def __init__(self, dataset: DynDataset, batch_size, seed=0, prefetch=2,
+                 num_workers=0):
         self.ds = dataset
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
-        self._q = queue.Queue(maxsize=prefetch)
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._procs = []
+        if num_workers >= 1:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._q = ctx.Queue(maxsize=max(prefetch, 2 * num_workers))
+            self._stop = ctx.Event()
+            for w in range(num_workers):
+                p = ctx.Process(
+                    target=_mp_loader_worker,
+                    args=(dataset, batch_size, seed + 7919 * w, self._q, self._stop),
+                    daemon=True,
+                )
+                p.start()
+                self._procs.append(p)
+        else:
+            self._q = queue.Queue(maxsize=prefetch)
+            self._stop = threading.Event()
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
 
     def _make_batch(self):
         idxs = self.rng.randint(0, len(self.ds), size=self.batch_size)
@@ -142,6 +179,10 @@ class BatchLoader:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        for p in self._procs:
+            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()
 
 
 def save_episode(path, obj_pos, eef_pos, pairs, fixed_mask=None, push_bounds=None):

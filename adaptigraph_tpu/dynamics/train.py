@@ -161,6 +161,50 @@ def make_train_step(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer):
     return train_step
 
 
+class DevicePrefetcher:
+    """Stages host batches onto the device from a background thread so the
+    host->device transfer overlaps the previous step's compute (the
+    reference relies on torch pinned-memory + non_blocking copies;
+    here an explicit ``jax.device_put`` pipeline of depth 2)."""
+
+    def __init__(self, loader, put_fn=None, depth=2):
+        import queue as _queue
+        import threading as _threading
+
+        self._loader = loader
+        self._put = put_fn or jax.device_put
+        self._q = _queue.Queue(maxsize=depth)
+        self._stop = _threading.Event()
+        self._thread = _threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        import queue as _queue
+
+        while not self._stop.is_set():
+            batch = self._put(next(self._loader))
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=1.0)
+                    break
+                except _queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
 def make_eval_step(gnn_cfg, edge_cfg, hyper: TrainHyper):
     @jax.jit
     def eval_step(params, batch, key):
@@ -224,15 +268,19 @@ def train(
 
     from adaptigraph_tpu.utils.metrics import MetricsLogger
 
+    if mesh is not None:
+        put_fn = lambda b: shard_batch(b, mesh)
+    else:
+        put_fn = jax.device_put
+    train_stage = DevicePrefetcher(train_loader, put_fn)
+
     metrics = MetricsLogger(out_dir)
     curves = {"train": [], "valid": []}
     for epoch in range(hyper.n_epochs):
         t0 = time.time()
         losses = []
         for it in range(hyper.n_iters_train):
-            batch = next(train_loader)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+            batch = next(train_stage)
             key, k = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, batch, k)
             if it % log_every == 0:
@@ -257,6 +305,7 @@ def train(
             f"epoch {epoch}: train {curves['train'][-1]:.6f} valid {curves['valid'][-1]:.6f} "
             f"({time.time() - t0:.1f}s)"
         )
+    train_stage.close()
     metrics.close()
     return params, curves
 

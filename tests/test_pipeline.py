@@ -106,6 +106,16 @@ def test_batch_loader(prep_dir):
     loader.close()
 
 
+def test_batch_loader_mp_workers(prep_dir):
+    ds = DynDataset(prep_dir, SPEC, phase="train", ratio={"train": [0, 0.75], "valid": [0.75, 1]})
+    loader = BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
+    for _ in range(3):
+        b = next(loader)
+        assert b["state"].shape == (4, 4, SPEC.n_nodes, 3)
+        assert np.isfinite(b["state"]).all()
+    loader.close()
+
+
 def test_training_loss_decreases(prep_dir):
     ds = DynDataset(prep_dir, SPEC, phase="train", ratio={"train": [0, 1.0], "valid": [0, 1.0]})
     loader = BatchLoader(ds, batch_size=8, seed=1)
