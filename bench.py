@@ -150,10 +150,56 @@ def bench_mppi_granular(n_solves=3):
     return n_solves / (time.time() - t0)
 
 
+def bench_train(n_steps=40):
+    """End-to-end training throughput at the rope budget (batch 128,
+    reference: config/dynamics/rope.yaml:50-56): mp-worker batch assembly +
+    device staging + jitted multi-step-loss train step."""
+    import tempfile
+
+    import optax
+
+    from adaptigraph_tpu.dynamics import train as train_mod
+    from adaptigraph_tpu.dynamics.dataset import BatchLoader, DynDataset
+    from adaptigraph_tpu.dynamics.graphs import GraphSpec
+    from adaptigraph_tpu.dynamics.preprocess import preprocess
+    from adaptigraph_tpu.sim.synthetic import SYNTH_EEF_OFFSETS, gen_rope_dataset
+
+    spec = GraphSpec(n_his=4, n_future=3, max_nobj=100, max_neef=1,
+                     fps_radius_range=(0.18, 0.22), adj_radius_range=(0.48, 0.52),
+                     topk=10)
+    phys = [{"name": "stiffness", "use": True, "min": 0.0, "max": 1.0}]
+    with tempfile.TemporaryDirectory() as td:
+        gen_rope_dataset(td + "/sim", n_episodes=6, n_pushes=3, seed=0, n_particles=80)
+        preprocess(td + "/sim", td + "/prep", SYNTH_EEF_OFFSETS, n_his=4, n_future=3,
+                   dist_thresh=0.1, phys_param_specs=phys)
+        ds = DynDataset(td + "/prep", spec, phase="train",
+                        ratio={"train": [0, 1.0], "valid": [0, 1.0]})
+        loader = BatchLoader(ds, batch_size=128, seed=1, num_workers=4)
+        hyper = train_mod.TrainHyper(n_future=3, state_noise_train=0.01)
+        params = init_params(jax.random.PRNGKey(0), GNN)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = train_mod.make_train_step(GNN, EDGE, hyper, opt)
+        stage = train_mod.DevicePrefetcher(loader)
+        key = jax.random.PRNGKey(0)
+        params, opt_state, loss = step(params, opt_state, next(stage), key)  # compile
+        _ = jax.device_get(loss)
+        t0 = time.time()
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, next(stage), k)
+        _ = jax.device_get(loss)
+        dt = (time.time() - t0) / n_steps
+        stage.close()
+        loader.close()
+    return 128.0 / dt
+
+
 def main():
     solves_per_s, _ = bench_mppi()
     granular_solves_s = bench_mppi_granular()
     rollout_steps_s = bench_rollout()
+    train_samples_s = bench_train()
     out = {
         "metric": "rope MPPI solves/s per chip (n_sample=20000, horizon 1, repeats<=15)",
         "value": round(solves_per_s, 4),
@@ -162,6 +208,7 @@ def main():
         "extra": {
             "rollout_steps_per_s": round(rollout_steps_s, 1),
             "granular_solves_per_s": round(granular_solves_s, 4),
+            "train_samples_per_s": round(train_samples_s, 1),
             "baseline_estimate_solves_per_s": BASELINE_SOLVES_PER_S,
             "device": str(jax.devices()[0]),
         },
