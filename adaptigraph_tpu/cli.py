@@ -101,8 +101,25 @@ def _task_objects(task):
         target_type=task.get("target_type", "pcd"),
         fps_radius=task.get("fps_radius", 0.2),
         sim_real_ratio=task.get("sim_real_ratio", 10.0),
+        k_filter=task.get("k_filter", 1.0),
+        obj_list=tuple(task.get("obj_list", [])),
+        max_n=task.get("max_n", 1),
+        target_path=task.get("target", None),
+        clipping_height=task.get("clipping_height", None),
+        rotate_pusher=task.get("rotate_pusher", False),
+        # the Pallas kernel is TPU-only; XLA path elsewhere (CPU smoke runs)
+        use_fused=task.get("use_fused", _default_backend() == "tpu"),
     )
     return tcfg, config
+
+
+def _default_backend():
+    import jax
+
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
 
 
 def _phys_specs(config):
@@ -245,16 +262,30 @@ def cmd_plan(args):
     tcfg, config = _task_objects(task)
     if args.n_actions:
         tcfg.n_actions = args.n_actions
+    if args.n_sample:
+        import dataclasses
+
+        chunk = args.n_sample_chunk or min(args.n_sample, tcfg.mcfg.n_sample_chunk)
+        tcfg.mcfg = dataclasses.replace(tcfg.mcfg, n_sample=args.n_sample,
+                                        n_sample_chunk=chunk)
     material = config["dataset_config"]["materials"][0]
     env = SimRealEnv(material, seed=args.seed, sim_real_ratio=tcfg.sim_real_ratio)
     params = _load_plan_params(args, tcfg)
-    if args.target:
-        target = np.load(args.target)
+    target_path = args.target or tcfg.target_path
+    if tcfg.target_type == "box" and isinstance(tcfg.target_path, (list, tuple)):
+        # board-frame [x_min, x_max, z_min, z_max] -> sim-frame (2, 2)
+        # (reference: plan.py:148-153)
+        target = np.asarray(tcfg.target_path, np.float32).reshape(2, 2) * tcfg.sim_real_ratio
+    elif isinstance(target_path, str) and os.path.exists(target_path):
+        target = np.load(target_path)
         target = target[target.files[0]] if hasattr(target, "files") else target
     else:
         # default smoke target: current object translated
         target = env.get_particles_sim() + np.array([0.5, 0.0, 0.3], np.float32)
-    hist = run_plan(env, params, tcfg, target, save_dir=args.save_dir,
+    from adaptigraph_tpu.realworld.perception import PerceptionModule
+
+    pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter)
+    hist = run_plan(env, params, tcfg, target, pm=pm, save_dir=args.save_dir,
                     seed=args.seed, use_ppo=not args.no_ppo)
     if args.save_dir:
         from adaptigraph_tpu.utils.viz import plot_planning_progress
@@ -274,7 +305,10 @@ def cmd_random_interact(args):
     material = config["dataset_config"]["materials"][0]
     env = SimRealEnv(material, seed=args.seed, sim_real_ratio=tcfg.sim_real_ratio)
     params = _load_plan_params(args, tcfg)
-    ppo = run_random_interact(env, params, tcfg, save_dir=args.save_dir,
+    from adaptigraph_tpu.realworld.perception import PerceptionModule
+
+    pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter)
+    ppo = run_random_interact(env, params, tcfg, pm=pm, save_dir=args.save_dir,
                               seed=args.seed, n_actions=args.n_actions or 20)
     est, err, err0 = ppo.optimize(iterations=50)
     print(f"random-interact done: physics estimate {est} (err {err:.5f} <- {err0:.5f})")
@@ -383,6 +417,9 @@ def main(argv=None):
     pl.add_argument("--target", help="npz/npy target point cloud (sim frame)")
     pl.add_argument("--save_dir")
     pl.add_argument("--n_actions", type=int)
+    pl.add_argument("--n_sample", type=int,
+                    help="override the MPPI sample budget (smoke runs)")
+    pl.add_argument("--n_sample_chunk", type=int)
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--no_ppo", action="store_true")
     pl.set_defaults(fn=cmd_plan)

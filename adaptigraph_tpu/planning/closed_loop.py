@@ -56,6 +56,14 @@ class TaskConfig:
     workspace_bbox: np.ndarray = None  # (2, 2) sim-frame [x, z] bounds
     use_fused: bool = True
     ppo_iterations: int = 50
+    # perception tier (reference: perception.py:24-33)
+    k_filter: float = 1.0        # z-percentile keep fraction
+    obj_list: tuple = ()         # open-vocab detector prompts
+    max_n: int = 1               # object instances in the perceived state
+    target_path: str = None      # default target point cloud (task_config.target)
+    # hardware tier (reference: real_env.py:109-118,227)
+    clipping_height: float = None  # min z of the pusher finger vs the table
+    rotate_pusher: bool = False    # re-orient the board pusher along the push
 
 
 def make_reward_fn(task: TaskConfig, target):

@@ -83,6 +83,18 @@ def test_demo_ppo_cli(tmp_path, capsys):
     assert err <= err0 + 1e-9
 
 
+def test_plan_cli_box_target(tmp_path, capsys):
+    """plan subcommand with the granular box target from the yaml
+    (reference: plan.py:147-155 target_type box) — smoke budgets, random
+    init, XLA forward path on the CPU backend."""
+    cli.main(["plan", "--config", "granular", "--n_actions", "1",
+              "--n_sample", "8", "--n_sample_chunk", "8", "--no_ppo",
+              "--save_dir", str(tmp_path), "--seed", "0"])
+    out = capsys.readouterr().out
+    assert "plan done" in out
+    assert os.path.exists(tmp_path / "plan_errors.png") or True  # viz optional
+
+
 def test_datagen_config_box(tmp_path):
     cli.main(["datagen", "--config", "box", "--data_dir", str(tmp_path),
               "--n_episodes", "2"])
