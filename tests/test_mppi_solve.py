@@ -53,6 +53,22 @@ def test_solve_improves_reward(setup):
     assert res["best_reward"] > -10.0
 
 
+def test_solve_multi_step_horizon(setup):
+    """n_look_ahead > 1: per-step eef re-sticking + receding-horizon shapes
+    (reference: forward_dynamics.py:156-168 look-ahead loop,
+    config/planning task_config n_look_ahead)."""
+    params, state, target = setup
+    mcfg = MPPIConfig(n_sample=32, n_sample_chunk=8, n_look_ahead=3, n_update_iter=2,
+                      reward_weight=50.0, noise_level=0.5)
+    solve = make_mppi_solver(DCFG, mcfg, make_reward(target), LOWER, UPPER)
+    act0 = jnp.zeros((3, 4)).at[:, 3].set(3.0)
+    res = solve(params, state, act0, jax.random.PRNGKey(3), jnp.asarray([0.5]))
+    assert res["act_seq"].shape == (3, 4)
+    assert res["mppi_seq"].shape == (3, 4)
+    assert np.isfinite(res["best_reward"])
+    assert np.isfinite(np.asarray(res["best_final_state"])).all()
+
+
 def test_sharded_solve_matches_single(setup):
     params, state, target = setup
     mesh = make_mesh(8)
