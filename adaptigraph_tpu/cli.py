@@ -286,7 +286,8 @@ def cmd_plan(args):
 
     pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter)
     hist = run_plan(env, params, tcfg, target, pm=pm, save_dir=args.save_dir,
-                    seed=args.seed, use_ppo=not args.no_ppo)
+                    seed=args.seed, use_ppo=not args.no_ppo,
+                    resume=args.resume)
     if args.save_dir:
         from adaptigraph_tpu.utils.viz import plot_planning_progress
 
@@ -422,6 +423,9 @@ def main(argv=None):
     pl.add_argument("--n_sample_chunk", type=int)
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--no_ppo", action="store_true")
+    pl.add_argument("--resume", action="store_true",
+                    help="continue from saved step_*.npz in --save_dir "
+                         "(reference: plan.py --resume)")
     pl.set_defaults(fn=cmd_plan)
 
     ri = sub.add_parser("random-interact", help="exploration for system ID")

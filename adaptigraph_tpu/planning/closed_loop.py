@@ -115,12 +115,15 @@ def _pad_state(state, max_nobj):
 
 def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
              save_dir=None, seed=0, use_ppo=True, verbose=True,
-             state_fn=None):
+             state_fn=None, resume=False):
     """Target-driven closed loop (reference: plan.py:229-315).
 
     env: RealEnv-contract environment. target: (n, 3) sim-frame point cloud
     (pcd target) or (3, 2) box spec. state_fn: optional override returning the
-    current sim-frame state (defaults to camera perception).
+    current sim-frame state (defaults to camera perception). resume: pick up
+    after an interruption — re-hydrate the step history and recorded
+    interactions from ``save_dir`` and continue with the remaining actions
+    (reference: plan.py:114-125,217-225 counts saved interactions).
 
     Returns dict with per-step errors, actions, and the final physics
     estimate.
@@ -137,6 +140,18 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
     ppo = PhysicsParamOnlineOptimizer(
         task.dcfg, params, phys_dim=task.dcfg.gnn.phys_dim,
         save_dir=save_dir, seed=seed) if use_ppo else None
+
+    start_step = 0
+    if resume and save_dir and os.path.isdir(save_dir):
+        import glob as _glob
+
+        done = sorted(_glob.glob(os.path.join(save_dir, "step_*.npz")))
+        start_step = len(done)
+        if ppo is not None and start_step:
+            ppo.load_interactions(save_dir)
+            est, _, _ = ppo.optimize(start_step - 1, iterations=task.ppo_iterations)
+            if verbose:
+                print(f"resumed at step {start_step}, physics estimate {est}")
 
     def perceive():
         if state_fn is not None:
@@ -156,7 +171,12 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
         / 2.0, np.float32)[None].repeat(task.mcfg.n_look_ahead, 0)
 
     history = {"errors": [], "actions": [], "phys": []}
-    for i in range(task.n_actions):
+    if start_step:
+        for f in sorted(_glob.glob(os.path.join(save_dir, "step_*.npz")))[:start_step]:
+            d = np.load(f)
+            history["errors"].append(float(d["error"]))
+            history["actions"].append(d["act"])
+    for i in range(start_step, task.n_actions):
         t0 = time.time()
         state_raw = perceive()
         state_pad, n_obj = _pad_state(state_raw, max_nobj)

@@ -60,6 +60,29 @@ def test_run_plan_closed_loop(tmp_path):
     assert os.path.exists(tmp_path / "ppo_1.npz")
 
 
+def test_run_plan_resume(tmp_path):
+    """--resume semantics (reference: plan.py:114-125,217-225): a second
+    run_plan with resume=True re-hydrates completed steps + interactions
+    and only executes the remaining actions."""
+    env = SimRealEnv("rope", seed=0, img_size=320)
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    target = env.get_particles_sim().mean(0)[None] + np.array(
+        [[0.3, 0.0, 0.2]], np.float32)
+    task = make_task()
+    h1 = run_plan(env, params, task, target, save_dir=str(tmp_path),
+                  seed=0, use_ppo=True, verbose=False)
+    assert len(h1["errors"]) == 2
+    # resume with a larger budget: 2 steps re-hydrated, 1 executed
+    task3 = make_task()
+    task3.n_actions = 3
+    h2 = run_plan(env, params, task3, target, save_dir=str(tmp_path),
+                  seed=0, use_ppo=True, verbose=False, resume=True)
+    assert len(h2["errors"]) == 3
+    np.testing.assert_allclose(h2["errors"][:2], h1["errors"], rtol=1e-6)
+    import os
+    assert os.path.exists(tmp_path / "step_002.npz")
+
+
 def test_run_random_interact(tmp_path):
     env = SimRealEnv("granular", seed=1, img_size=320)
     params = init_params(jax.random.PRNGKey(1), GNN)
