@@ -106,6 +106,45 @@ def test_batch_loader(prep_dir):
     loader.close()
 
 
+def test_training_with_rest_state(tmp_path):
+    """The softbody-config training path: n_his=5, store_rest_state — the
+    history keeps the pinned rest frame through the n_future splice
+    (reference: softbody.yaml:14-16, train.py:111-115)."""
+    import optax
+
+    sim_dir, prep = str(tmp_path / "sim"), str(tmp_path / "prep")
+    gen_rope_dataset(sim_dir, n_episodes=3, n_pushes=2, seed=3, n_particles=30)
+    n = preprocess(sim_dir, prep, SYNTH_EEF_OFFSETS, n_his=5, n_future=2,
+                   dist_thresh=0.1, phys_param_specs=PHYS_SPECS,
+                   store_rest_state=True)
+    assert n == 3
+    import dataclasses
+
+    spec = dataclasses.replace(SPEC, n_his=5, n_future=2, store_rest_state=True)
+    ds = DynDataset(prep, spec, phase="train", ratio={"train": [0, 1.0], "valid": [0, 1.0]})
+    s = ds.sample(0, np.random.RandomState(0))
+    assert s["state"].shape == (5, spec.n_nodes, 3)
+    loader = BatchLoader(ds, batch_size=4, seed=0)
+    gnn_cfg = GNNConfig(n_his=5, max_nobj=40, max_neef=1, nf_particle=16,
+                        nf_relation=16, nf_effect=16, pstep=2)
+    edge_cfg = EdgeConfig(max_nobj=40, max_neef=1, topk=5)
+    hyper = train_mod.TrainHyper(n_future=2, state_noise_train=0.01,
+                                 store_rest_state=True)
+    params = init_params(jax.random.PRNGKey(0), gnn_cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = train_mod.make_train_step(gnn_cfg, edge_cfg, hyper, opt)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(10):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, next(loader), k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    loader.close()
+
+
 def test_batch_loader_mp_workers(prep_dir):
     ds = DynDataset(prep_dir, SPEC, phase="train", ratio={"train": [0, 0.75], "valid": [0.75, 1]})
     loader = BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
