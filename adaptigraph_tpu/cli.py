@@ -262,29 +262,36 @@ def cmd_plan(args):
     tcfg, config = _task_objects(task)
     if args.n_actions:
         tcfg.n_actions = args.n_actions
-    if args.n_sample:
+    if args.n_sample or args.n_sample_chunk:
         import dataclasses
 
-        chunk = args.n_sample_chunk or min(args.n_sample, tcfg.mcfg.n_sample_chunk)
-        tcfg.mcfg = dataclasses.replace(tcfg.mcfg, n_sample=args.n_sample,
+        n_sample = args.n_sample or tcfg.mcfg.n_sample
+        chunk = args.n_sample_chunk or min(n_sample, tcfg.mcfg.n_sample_chunk)
+        if n_sample % chunk:  # the fused solve needs chunk | n_sample
+            chunk = next(c for c in range(min(chunk, n_sample), 0, -1)
+                         if n_sample % c == 0)
+        tcfg.mcfg = dataclasses.replace(tcfg.mcfg, n_sample=n_sample,
                                         n_sample_chunk=chunk)
     material = config["dataset_config"]["materials"][0]
     env = SimRealEnv(material, seed=args.seed, sim_real_ratio=tcfg.sim_real_ratio)
     params = _load_plan_params(args, tcfg)
-    target_path = args.target or tcfg.target_path
-    if tcfg.target_type == "box" and isinstance(tcfg.target_path, (list, tuple)):
+    if args.target:  # explicit file beats the yaml target
+        target = np.load(args.target)
+        target = target[target.files[0]] if hasattr(target, "files") else target
+    elif tcfg.target_type == "box" and isinstance(tcfg.target_path, (list, tuple)):
         # board-frame [x_min, x_max, z_min, z_max] -> sim-frame (2, 2)
         # (reference: plan.py:148-153)
         target = np.asarray(tcfg.target_path, np.float32).reshape(2, 2) * tcfg.sim_real_ratio
-    elif isinstance(target_path, str) and os.path.exists(target_path):
-        target = np.load(target_path)
+    elif isinstance(tcfg.target_path, str) and os.path.exists(tcfg.target_path):
+        target = np.load(tcfg.target_path)
         target = target[target.files[0]] if hasattr(target, "files") else target
     else:
         # default smoke target: current object translated
         target = env.get_particles_sim() + np.array([0.5, 0.0, 0.3], np.float32)
     from adaptigraph_tpu.realworld.perception import PerceptionModule
 
-    pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter)
+    pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter,
+                          obj_prompts=tcfg.obj_list, max_n=tcfg.max_n)
     hist = run_plan(env, params, tcfg, target, pm=pm, save_dir=args.save_dir,
                     seed=args.seed, use_ppo=not args.no_ppo,
                     resume=args.resume)
@@ -308,7 +315,8 @@ def cmd_random_interact(args):
     params = _load_plan_params(args, tcfg)
     from adaptigraph_tpu.realworld.perception import PerceptionModule
 
-    pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter)
+    pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter,
+                          obj_prompts=tcfg.obj_list, max_n=tcfg.max_n)
     ppo = run_random_interact(env, params, tcfg, pm=pm, save_dir=args.save_dir,
                               seed=args.seed, n_actions=args.n_actions or 20)
     est, err, err0 = ppo.optimize(iterations=50)

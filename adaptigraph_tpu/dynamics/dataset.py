@@ -84,6 +84,18 @@ class DynDataset:
     def __len__(self):
         return len(self.index)
 
+    # picklable for spawn-context loader workers: drop the lock and the
+    # lazy episode cache (each worker re-reads its own episodes)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_lock"] = None
+        state["_episodes"] = [None] * len(self._episodes)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     def _episode(self, ei):
         with self._lock:
             if self._episodes[ei] is None:
@@ -107,8 +119,14 @@ class DynDataset:
 def _mp_loader_worker(dataset, batch_size, seed, q, stop):
     rng = np.random.RandomState(seed)
     while not stop.is_set():
-        idxs = rng.randint(0, len(dataset), size=batch_size)
-        batch = collate([dataset.sample(int(i), rng) for i in idxs])
+        try:
+            idxs = rng.randint(0, len(dataset), size=batch_size)
+            batch = collate([dataset.sample(int(i), rng) for i in idxs])
+        except BaseException:  # surface in the consumer, don't die silently
+            import traceback
+
+            q.put({"__loader_error__": traceback.format_exc()})
+            return
         while not stop.is_set():
             try:
                 q.put(batch, timeout=1.0)
@@ -130,7 +148,7 @@ class BatchLoader:
     the reference's shuffled epoch for with-replacement training."""
 
     def __init__(self, dataset: DynDataset, batch_size, seed=0, prefetch=2,
-                 num_workers=0):
+                 num_workers=0, mp_context="fork"):
         self.ds = dataset
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
@@ -138,7 +156,10 @@ class BatchLoader:
         if num_workers >= 1:
             import multiprocessing as mp
 
-            ctx = mp.get_context("fork")
+            # fork shares the dataset copy-on-write (fast start) but is only
+            # safe BEFORE the JAX runtime spins up its threads; use "spawn"
+            # when forking after device init (e.g. bench.py)
+            ctx = mp.get_context(mp_context)
             self._q = ctx.Queue(maxsize=max(prefetch, 2 * num_workers))
             self._stop = ctx.Event()
             for w in range(num_workers):
@@ -170,7 +191,11 @@ class BatchLoader:
         return self
 
     def __next__(self):
-        return self._q.get()
+        batch = self._q.get()
+        if isinstance(batch, dict) and "__loader_error__" in batch:
+            raise RuntimeError(
+                "batch-assembly worker failed:\n" + batch["__loader_error__"])
+        return batch
 
     def close(self):
         self._stop.set()

@@ -161,6 +161,13 @@ def make_train_step(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer):
     return train_step
 
 
+class _PrefetchError:
+    """Exception carrier from the prefetch thread to the consumer."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class DevicePrefetcher:
     """Stages host batches onto the device from a background thread so the
     host->device transfer overlaps the previous step's compute (the
@@ -182,7 +189,11 @@ class DevicePrefetcher:
         import queue as _queue
 
         while not self._stop.is_set():
-            batch = self._put(next(self._loader))
+            try:
+                batch = self._put(next(self._loader))
+            except BaseException as e:  # surface in the consumer, don't hang
+                self._q.put(_PrefetchError(e))
+                return
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=1.0)
@@ -194,7 +205,10 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        return item
 
     def close(self):
         self._stop.set()

@@ -149,9 +149,11 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
         start_step = len(done)
         if ppo is not None and start_step:
             ppo.load_interactions(save_dir)
-            est, _, _ = ppo.optimize(start_step - 1, iterations=task.ppo_iterations)
-            if verbose:
-                print(f"resumed at step {start_step}, physics estimate {est}")
+            if ppo._interactions:  # prior run may have been --no_ppo
+                est, _, _ = ppo.optimize(start_step - 1,
+                                         iterations=task.ppo_iterations)
+                if verbose:
+                    print(f"resumed at step {start_step}, physics estimate {est}")
 
     def perceive():
         if state_fn is not None:
@@ -172,10 +174,14 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
 
     history = {"errors": [], "actions": [], "phys": []}
     if start_step:
-        for f in sorted(_glob.glob(os.path.join(save_dir, "step_*.npz")))[:start_step]:
+        for i, f in enumerate(sorted(
+                _glob.glob(os.path.join(save_dir, "step_*.npz")))[:start_step]):
             d = np.load(f)
             history["errors"].append(float(d["error"]))
             history["actions"].append(d["act"])
+            pf = os.path.join(save_dir, f"ppo_{i}.npz")
+            if ppo is not None and os.path.exists(pf):
+                history["phys"].append(np.load(pf)["physics_param"])
     for i in range(start_step, task.n_actions):
         t0 = time.time()
         state_raw = perceive()

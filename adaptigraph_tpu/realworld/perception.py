@@ -38,11 +38,16 @@ class PerceptionModule:
     voxel_size: float = 0.0005
     stride: int = 4
     depth_range: tuple = (0.0, 2.0)
+    obj_prompts: tuple = ()  # open-vocab detector prompts (task_config obj_list)
+    max_n: int = 1           # instance budget for a detector-backed mask_fn
 
     def get_tabletop_points(self, rgb_list, depth_list, R_list, t_list,
                             intr_list, bbox, use_raw=False):
         """Fused, cropped, filtered board-frame cloud
-        (reference: perception.py:151-256)."""
+        (reference: perception.py:151-256). ``use_raw`` skips the voxel
+        downsample + statistical outlier removal (the slow host passes) for
+        the per-MPC-step loop; the z-percentile filter (k_filter) always
+        applies, as in the reference."""
         masks = None
         if not use_raw and self.mask_fn is not None:
             masks = [self.mask_fn(rgb) for rgb in rgb_list]
@@ -51,7 +56,7 @@ class PerceptionModule:
                          depth_range=self.depth_range)
         pts = crop_bbox(pts, bbox)
         if use_raw:
-            return pts
+            return z_percentile_filter(pts, self.k_filter)
         pts = voxel_downsample(pts, self.voxel_size)
         pts = remove_statistical_outliers(pts, nb_neighbors=20, std_ratio=1.5)
         pts = z_percentile_filter(pts, self.k_filter)

@@ -174,7 +174,9 @@ def bench_train(n_steps=40):
                    dist_thresh=0.1, phys_param_specs=phys)
         ds = DynDataset(td + "/prep", spec, phase="train",
                         ratio={"train": [0, 1.0], "valid": [0, 1.0]})
-        loader = BatchLoader(ds, batch_size=128, seed=1, num_workers=4)
+        # spawn, not fork: the TPU runtime's threads are live by now
+        loader = BatchLoader(ds, batch_size=128, seed=1, num_workers=4,
+                             mp_context="spawn")
         hyper = train_mod.TrainHyper(n_future=3, state_noise_train=0.01)
         params = init_params(jax.random.PRNGKey(0), GNN)
         opt = optax.adam(1e-3)

@@ -92,7 +92,7 @@ def test_plan_cli_box_target(tmp_path, capsys):
               "--save_dir", str(tmp_path), "--seed", "0"])
     out = capsys.readouterr().out
     assert "plan done" in out
-    assert os.path.exists(tmp_path / "plan_errors.png") or True  # viz optional
+    assert os.path.exists(tmp_path / "step_000.npz")
 
 
 def test_datagen_config_box(tmp_path):
