@@ -171,12 +171,32 @@ def cmd_preprocess(args):
     dc = config["dataset_config"]
     data_dir = args.data_dir or os.path.join(dc["data_dir"], dc["data_name"])
     prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
+    filter_actions = None
+    if args.filter_file:
+        from adaptigraph_tpu.sim.filter import load_filter_file
+
+        filter_actions = load_filter_file(args.filter_file)
     n = preprocess(
         data_dir, prep_dir, np.asarray(dc["eef"]["pos"], np.float32),
         dc["n_his"], dc["n_future"], dc["dist_thresh"], _phys_specs(config),
         store_rest_state=dc.get("store_rest_state", False),
+        filter_actions=filter_actions,
     )
     print(f"preprocessed {n} episodes -> {prep_dir}")
+
+
+def cmd_filter(args):
+    """Scan sim episodes for artifacts (reference:
+    src/dynamics/preprocess/filter_sim_data.py): drift of the rest state,
+    NaNs, frame-to-frame spikes; writes a json consumed by
+    ``preprocess --filter_file``."""
+    from adaptigraph_tpu.sim.filter import filter_dataset
+
+    res = filter_dataset(args.data_dir, out_file=args.out,
+                         drift_thresh=args.drift_thresh,
+                         spike_thresh=args.spike_thresh)
+    n_flagged = sum(len(v) for v in res.values())
+    print(f"flagged {n_flagged} pushes across {len(res)} episodes")
 
 
 def cmd_train(args):
@@ -395,7 +415,18 @@ def main(argv=None):
     pr.add_argument("--config", required=True)
     pr.add_argument("--data_dir")
     pr.add_argument("--prep_dir")
+    pr.add_argument("--filter_file",
+                    help="json from the `filter` subcommand; listed pushes "
+                         "are excluded (reference: preprocess.py "
+                         "read_in_filter_file)")
     pr.set_defaults(fn=cmd_preprocess)
+
+    fl = sub.add_parser("filter", help="flag sim episodes with solver artifacts")
+    fl.add_argument("--data_dir", required=True)
+    fl.add_argument("--out")
+    fl.add_argument("--drift_thresh", type=float, default=1.0)
+    fl.add_argument("--spike_thresh", type=float, default=0.5)
+    fl.set_defaults(fn=cmd_filter)
 
     t = sub.add_parser("train", help="train the GNN dynamics model")
     t.add_argument("--config", required=True)

@@ -83,6 +83,24 @@ def test_demo_ppo_cli(tmp_path, capsys):
     assert err <= err0 + 1e-9
 
 
+def test_filter_cli(tiny_run, tmp_path, capsys):
+    """filter subcommand writes a json consumable by preprocess
+    --filter_file (reference: filter_sim_data.py -> read_in_filter_file)."""
+    import json
+
+    root, data_dir, prep_dir = tiny_run
+    out = str(tmp_path / "filter.json")
+    cli.main(["filter", "--data_dir", data_dir, "--out", out])
+    assert os.path.exists(out)
+    with open(out) as f:
+        json.load(f)  # valid json
+    # preprocess accepts the filter file (possibly empty)
+    prep2 = str(tmp_path / "prep2")
+    cli.main(["preprocess", "--config", "rope", "--data_dir", data_dir,
+              "--prep_dir", prep2, "--filter_file", out])
+    assert os.path.exists(os.path.join(prep2, "episodes", "000000.npz"))
+
+
 def test_plan_cli_box_target(tmp_path, capsys):
     """plan subcommand with the granular box target from the yaml
     (reference: plan.py:147-155 target_type box) — smoke budgets, random
