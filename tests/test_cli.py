@@ -113,6 +113,21 @@ def test_plan_cli_box_target(tmp_path, capsys):
     assert os.path.exists(tmp_path / "step_000.npz")
 
 
+def test_perception_goal_to_plan_handoff(tmp_path, capsys):
+    """The operator workflow: capture a goal with the perception CLI, then
+    plan toward it (reference: perception.py construct_goal_from_perception
+    -> plan.py target pcd)."""
+    goal = str(tmp_path / "goal.npz")
+    cli.main(["perception", "--construct_goal", "--material", "rope",
+              "--seed", "3", "--out", goal])
+    assert os.path.exists(goal)
+    cli.main(["plan", "--config", "rope", "--target", goal, "--n_actions", "1",
+              "--n_sample", "8", "--no_ppo", "--seed", "3",
+              "--save_dir", str(tmp_path / "plan")])
+    out = capsys.readouterr().out
+    assert "plan done" in out
+
+
 def test_datagen_config_box(tmp_path):
     cli.main(["datagen", "--config", "box", "--data_dir", str(tmp_path),
               "--n_episodes", "2"])
