@@ -1,6 +1,7 @@
 #include "xpbd.h"
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstring>
 #include <random>
@@ -364,6 +365,13 @@ void Sim::release() {
 }
 
 void Sim::step(const Vec3* tool_target, int n_tool) {
+  using clk = std::chrono::steady_clock;
+  auto t0 = clk::now();
+  auto lap = [&t0, this](int slot) {
+    auto t1 = clk::now();
+    timers[slot] += std::chrono::duration<double, std::milli>(t1 - t0).count();
+    t0 = t1;
+  };
   const float h = params.dt / params.substeps;
   const int N = n();
   // tool moves linearly across the frame
@@ -392,15 +400,21 @@ void Sim::step(const Vec3* tool_target, int n_tool) {
       vel[i] = mul(vel[i], damp);
       pos[i] = add(pos[i], mul(vel[i], h));
     }
+    lap(0);
     for (auto& c : constraints) c.lambda = 0;
     for (int it = 0; it < params.iterations; ++it) {
       solve_constraints(h);
+      lap(1);
       solve_clusters();
+      lap(2);
       solve_fluid();
+      lap(3);
       if (self_collision) solve_contacts();
+      lap(4);
       collide_tool();
       solve_walls();
       solve_ground(h);
+      lap(5);
     }
     // velocity update
 #pragma omp parallel for
@@ -409,7 +423,9 @@ void Sim::step(const Vec3* tool_target, int n_tool) {
       vel[i] = mul(sub(pos[i], prev[i]), 1.0f / h);
     }
     apply_xsph(h);
+    lap(6);
   }
+  ++timed_frames;
 }
 
 // ---------------- scenes ----------------
@@ -788,6 +804,15 @@ int xpbd_grasp(void* h, int k, float max_dist) {
 }
 
 void xpbd_release(void* h) { static_cast<xpbd::Sim*>(h)->release(); }
+
+// per-stage solver timers, ms accumulated since creation (parity with
+// NvFlexGetTimers, pyflex.cpp:3557-3583): out8 = [integrate, constraints,
+// clusters, fluid, contacts, tool+walls+ground, velocity+xsph, frames]
+void xpbd_get_timers(void* h, double* out8) {
+  auto* s = static_cast<xpbd::Sim*>(h);
+  for (int i = 0; i < 7; ++i) out8[i] = s->timers[i];
+  out8[7] = static_cast<double>(s->timed_frames);
+}
 
 void xpbd_destroy(void* h) { delete static_cast<xpbd::Sim*>(h); }
 }

@@ -86,6 +86,13 @@ class Sim {
   std::vector<Vec3> grasp_off;
   std::vector<float> grasp_saved_im;
 
+  // per-stage wall-clock accumulators in milliseconds (parity with the
+  // reference's NvFlexGetTimers/GetDetailTimers, pyflex.cpp:3557-3583):
+  // [integrate, constraints, clusters, fluid, contacts, tool+walls+ground,
+  //  velocity+xsph] plus frame count
+  double timers[7] = {0, 0, 0, 0, 0, 0, 0};
+  long timed_frames = 0;
+
   int n() const { return static_cast<int>(pos.size()); }
 
   void add_particle(Vec3 p, float im);

@@ -72,6 +72,7 @@ def _load():
     lib.xpbd_grasp.restype = ctypes.c_int
     lib.xpbd_grasp.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_float]
     lib.xpbd_release.argtypes = [ctypes.c_void_p]
+    lib.xpbd_get_timers.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
     lib.xpbd_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -163,6 +164,18 @@ class XPBDScene:
             tool_target = self.get_tool()
         arr, ptr = _fptr(tool_target)
         self._lib.xpbd_step(self._h, ptr, arr.shape[0])
+
+    def get_timers(self):
+        """Per-stage solver timers in ms, accumulated since creation
+        (parity with NvFlexGetTimers, reference pyflex.cpp:3557-3583)."""
+        out = np.zeros(8, np.float64)
+        self._lib.xpbd_get_timers(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        keys = ("integrate", "constraints", "clusters", "fluid", "contacts",
+                "tool_walls_ground", "velocity_xsph")
+        t = {k: float(v) for k, v in zip(keys, out[:7])}
+        t["frames"] = int(out[7])
+        return t
 
     def __del__(self):
         try:

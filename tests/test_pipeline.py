@@ -106,6 +106,21 @@ def test_batch_loader(prep_dir):
     loader.close()
 
 
+def test_engine_timers():
+    """Per-stage solver timers (parity with NvFlexGetTimers,
+    reference: pyflex.cpp:3557-3583)."""
+    from adaptigraph_tpu.sim.engine import XPBDScene
+
+    s = XPBDScene("rope", np.asarray([30, 2.0, 0.1, 0.5, 0.3, 0.0, 0.0, 0.0],
+                                     np.float32), seed=1)
+    for _ in range(3):
+        s.step()
+    t = s.get_timers()
+    assert t["frames"] == 3
+    assert t["constraints"] > 0.0
+    assert all(v >= 0.0 for k, v in t.items() if k != "frames")
+
+
 def test_training_with_rest_state(tmp_path):
     """The softbody-config training path: n_his=5, store_rest_state — the
     history keeps the pinned rest frame through the n_future splice
