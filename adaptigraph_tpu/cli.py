@@ -338,7 +338,8 @@ def cmd_random_interact(args):
     pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter,
                           obj_prompts=tcfg.obj_list, max_n=tcfg.max_n)
     ppo = run_random_interact(env, params, tcfg, pm=pm, save_dir=args.save_dir,
-                              seed=args.seed, n_actions=args.n_actions or 20)
+                              seed=args.seed, n_actions=args.n_actions or 20,
+                              resume=args.resume)
     est, err, err0 = ppo.optimize(iterations=50)
     print(f"random-interact done: physics estimate {est} (err {err:.5f} <- {err0:.5f})")
 
@@ -474,6 +475,9 @@ def main(argv=None):
     ri.add_argument("--save_dir")
     ri.add_argument("--n_actions", type=int)
     ri.add_argument("--seed", type=int, default=0)
+    ri.add_argument("--resume", action="store_true",
+                    help="continue from recorded interaction_*.npz in "
+                         "--save_dir (reference: random_interact.py --resume)")
     ri.set_defaults(fn=cmd_random_interact)
 
     dp = sub.add_parser("demo-ppo", help="physics-param demo on recorded fixtures")

@@ -224,7 +224,8 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
 
 
 def run_random_interact(env, params, task: TaskConfig, pm=None, save_dir=None,
-                        seed=0, n_actions=20, verbose=True, state_fn=None):
+                        seed=0, n_actions=20, verbose=True, state_fn=None,
+                        resume=False):
     """Exploration loop for system ID: maximize predicted state change
     (reference: random_interact.py:26-55 reward = Chamfer distance between
     predicted final and current state), recording interactions for offline
@@ -237,6 +238,15 @@ def run_random_interact(env, params, task: TaskConfig, pm=None, save_dir=None,
     ppo = PhysicsParamOnlineOptimizer(
         task.dcfg, params, phys_dim=task.dcfg.gnn.phys_dim,
         save_dir=save_dir, seed=seed)
+
+    start_step = 0
+    if resume and save_dir and os.path.isdir(save_dir):
+        # pick up the recorded interactions and continue exploring
+        # (reference: random_interact.py:111-122)
+        ppo.load_interactions(save_dir)
+        start_step = len(ppo._interactions)
+        if verbose and start_step:
+            print(f"resumed with {start_step} recorded interactions")
 
     def perceive():
         if state_fn is not None:
@@ -265,7 +275,7 @@ def run_random_interact(env, params, task: TaskConfig, pm=None, save_dir=None,
     solve = make_mppi_solver(task.dcfg, task.mcfg, explore_reward,
                              task.action_lower_lim, task.action_upper_lim,
                              use_fused=task.use_fused)
-    for i in range(n_actions):
+    for i in range(start_step, n_actions):
         state_raw = perceive()
         state_pad, n_obj = _pad_state(state_raw, max_nobj)
         cur = jnp.asarray(state_pad)

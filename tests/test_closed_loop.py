@@ -90,5 +90,9 @@ def test_run_random_interact(tmp_path):
     ppo = run_random_interact(env, params, task, save_dir=str(tmp_path),
                               seed=1, n_actions=2, verbose=False)
     assert len(ppo._interactions) == 2
+    # resume: 2 recorded interactions re-hydrated, 1 new executed
+    ppo2 = run_random_interact(env, params, task, save_dir=str(tmp_path),
+                               seed=1, n_actions=3, verbose=False, resume=True)
+    assert len(ppo2._interactions) == 3
     est, err, err0 = ppo.optimize(iterations=6)
     assert np.isfinite(err) and est.shape == (1,)
