@@ -24,3 +24,10 @@ from adaptigraph_tpu.realworld.perception import (
 )
 from adaptigraph_tpu.realworld.cameras import VirtualCamera, make_multiview_cameras
 from adaptigraph_tpu.realworld.env import SimRealEnv
+from adaptigraph_tpu.realworld.shm import ShmQueue, ShmRingBuffer
+from adaptigraph_tpu.realworld.accumulate import (
+    TimestampActionAccumulator,
+    TimestampObsAccumulator,
+    accumulate_timestamp_idxs,
+    align_to_global_idxs,
+)

@@ -16,12 +16,22 @@ import time
 
 import numpy as np
 
-from adaptigraph_tpu.realworld.shm import ShmRingBuffer, align_timestamps
+from adaptigraph_tpu.realworld.shm import ShmQueue, ShmRingBuffer, align_timestamps
+
+# Command opcodes understood by camera child processes (the reference's
+# SingleRealsense.Command enum, single_realsense.py:404-420: SET_COLOR_OPTION,
+# SET_DEPTH_OPTION, ... routed through a SharedMemoryQueue).
+CMD_SET_FPS = 0
+CMD_SET_OPTION = 1  # generic (option_id, value) pair for hardware backends
+
+_CMD_SPECS = [("cmd", (), np.int64), ("option", (), np.int64),
+              ("value", (), np.float64)]
 
 
 class SyntheticCameraProcess(mp.Process):
     """Child process rendering depth frames of a (static) point cloud into a
-    shared ring buffer at ``fps``."""
+    shared ring buffer at ``fps``; runtime-adjustable via a shared-memory
+    command queue (the reference's command plane, single_realsense.py:240-278)."""
 
     def __init__(self, name, camera, points, fps=30.0, capacity=64):
         super().__init__(daemon=True)
@@ -33,31 +43,56 @@ class SyntheticCameraProcess(mp.Process):
         self._stop = mp.Event()
         self._ready = mp.Event()
         self.frame_shape = (camera.height, camera.width)
+        self._cmd_queue = None  # parent-side handle, created in start_wait
+
+    @property
+    def cmd_name(self):
+        return self.ring_name + "_cmd"
 
     def run(self):
         ring = ShmRingBuffer(self.ring_name, self.frame_shape, np.float32,
                              capacity=self.capacity, create=True)
+        cmds = ShmQueue(self.cmd_name, _CMD_SPECS, capacity=64, create=True)
         try:
             period = 1.0 / self.fps
             self._ready.set()
             while not self._stop.is_set():
                 t = time.time()
+                while not cmds.empty():
+                    c = cmds.get()
+                    if int(c["cmd"]) == CMD_SET_FPS and float(c["value"]) > 0:
+                        period = 1.0 / float(c["value"])
+                    # CMD_SET_OPTION is a no-op for the synthetic camera
                 depth = self.camera.render_depth(self.points, table_axis=2)
                 ring.put(depth, t)
                 dt = period - (time.time() - t)
                 if dt > 0:
                     time.sleep(dt)
         finally:
+            cmds.close()
             ring.close()
 
     def start_wait(self, timeout=10.0):
         self.start()
         if not self._ready.wait(timeout):
             raise RuntimeError("camera process failed to start")
+        self._cmd_queue = ShmQueue(self.cmd_name, _CMD_SPECS, create=False)
+
+    def set_fps(self, fps):
+        """Runtime frame-rate change through the command queue."""
+        self._cmd_queue.put({"cmd": CMD_SET_FPS, "option": 0, "value": fps})
+
+    def set_option(self, option, value):
+        """Generic camera option (exposure, gain, ...; hardware backends)."""
+        self._cmd_queue.put({"cmd": CMD_SET_OPTION, "option": option,
+                             "value": value})
 
     def stop(self):
         self._stop.set()
         self.join(timeout=5.0)
+        if self._cmd_queue is not None:
+            self._cmd_queue.close()
+            self._cmd_queue = None
 
 
 class MultiCamera:
@@ -101,6 +136,12 @@ class MultiCamera:
             obs[f"depth_{i}"] = f[j]
             obs[f"timestamp_{i}"] = tss[i][j]
         return obs
+
+    def set_fps(self, fps):
+        """Fan-out runtime frame-rate change (reference:
+        multi_realsense.py set_color_option fan-out pattern)."""
+        for p in self.procs:
+            p.set_fps(fps)
 
     def stop(self):
         for r in self.rings:

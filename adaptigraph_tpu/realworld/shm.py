@@ -45,6 +45,25 @@ def _load():
     if path is None:
         path = build_library()
     lib = ctypes.CDLL(path)
+    if not hasattr(lib, "shm_queue_create"):  # stale build without the queue
+        lib = ctypes.CDLL(build_library())
+    lib.shm_queue_create.restype = ctypes.c_void_p
+    lib.shm_queue_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
+    lib.shm_queue_open.restype = ctypes.c_void_p
+    lib.shm_queue_open.argtypes = [ctypes.c_char_p]
+    lib.shm_queue_elem_bytes.restype = ctypes.c_uint64
+    lib.shm_queue_elem_bytes.argtypes = [ctypes.c_void_p]
+    lib.shm_queue_capacity.restype = ctypes.c_uint64
+    lib.shm_queue_capacity.argtypes = [ctypes.c_void_p]
+    lib.shm_queue_size.restype = ctypes.c_uint64
+    lib.shm_queue_size.argtypes = [ctypes.c_void_p]
+    lib.shm_queue_put.restype = ctypes.c_int
+    lib.shm_queue_put.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.shm_queue_get_k.restype = ctypes.c_int
+    lib.shm_queue_get_k.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+    lib.shm_queue_clear.argtypes = [ctypes.c_void_p]
+    lib.shm_queue_close.argtypes = [ctypes.c_void_p]
+    lib.shm_queue_unlink.argtypes = [ctypes.c_char_p]
     lib.shm_ring_create.restype = ctypes.c_void_p
     lib.shm_ring_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
     lib.shm_ring_open.restype = ctypes.c_void_p
@@ -125,6 +144,126 @@ class ShmRingBuffer:
     def close(self):
         if self.h:
             self.lib.shm_ring_close(self.h)
+            self.h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class ShmQueue:
+    """Bounded FIFO of dicts of fixed-shape numpy arrays over POSIX shared
+    memory, backed by the C++ SPSC queue in ``cpp/shm_ring.cpp``.
+
+    Python-facing equivalent of the reference's ``SharedMemoryQueue``
+    (reference: ``src/planning/real_world/shared_memory/shared_memory_queue.py:10-187``):
+    the command plane between the parent and camera/robot child processes.
+    Fields are packed into one contiguous record so a put/get is a single
+    native memcpy; ``put`` raises ``queue.Full`` and ``get``/``get_k``/
+    ``get_all`` raise ``queue.Empty`` like the reference.
+    """
+
+    def __init__(self, name, specs, capacity=64, create=False):
+        """specs: list of (field_name, shape, dtype) defining the record."""
+        self.lib = _load()
+        self.specs = []
+        offset = 0
+        for fname, shape, dtype in specs:
+            shape = tuple(int(s) for s in shape)
+            dtype = np.dtype(dtype)
+            nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+            offset = -(-offset // dtype.itemsize) * dtype.itemsize  # align
+            self.specs.append((fname, shape, dtype, offset, nbytes))
+            offset += nbytes
+        self.elem_bytes = max(offset, 1)
+        bname = name.encode()
+        if create:
+            self.h = self.lib.shm_queue_create(bname, self.elem_bytes, capacity)
+        else:
+            self.h = self.lib.shm_queue_open(bname)
+            if self.h and self.lib.shm_queue_elem_bytes(self.h) != self.elem_bytes:
+                raise ValueError("record layout mismatch with existing queue")
+        if not self.h:
+            raise OSError(f"shm queue {'create' if create else 'open'} failed: {name}")
+        self.name = name
+
+    @classmethod
+    def from_examples(cls, name, examples, capacity=64, create=True):
+        """Infer the record layout from an example dict (reference:
+        ``create_from_examples``, shared_memory_queue.py:44-75)."""
+        specs = []
+        for key, value in examples.items():
+            value = np.asarray(value)
+            if value.dtype == object:
+                raise TypeError(f"unsupported object field {key!r}")
+            specs.append((key, value.shape, value.dtype))
+        return cls(name, specs, capacity=capacity, create=create)
+
+    def qsize(self):
+        return int(self.lib.shm_queue_size(self.h))
+
+    def empty(self):
+        return self.qsize() == 0
+
+    def clear(self):
+        self.lib.shm_queue_clear(self.h)
+
+    def _pack(self, data):
+        rec = np.zeros(self.elem_bytes, np.uint8)
+        for fname, shape, dtype, off, nbytes in self.specs:
+            value = np.ascontiguousarray(data[fname], dtype=dtype)
+            if value.shape != shape:
+                value = value.reshape(shape)
+            rec[off:off + nbytes] = value.reshape(-1).view(np.uint8)
+        return rec
+
+    def _unpack(self, recs, k=None):
+        """recs: (n, elem_bytes) uint8 -> dict of (n, *shape) or (*shape,)."""
+        out = {}
+        for fname, shape, dtype, off, nbytes in self.specs:
+            raw = recs[:, off:off + nbytes].copy().view(dtype)
+            arr = raw.reshape((len(recs),) + shape)
+            out[fname] = arr if k is not None else arr[0]
+        return out
+
+    def put(self, data):
+        import queue as _q
+
+        rec = self._pack(data)
+        if self.lib.shm_queue_put(self.h, rec.ctypes.data_as(ctypes.c_void_p),
+                                  self.elem_bytes) != 0:
+            raise _q.Full()
+
+    def _get_k_impl(self, k):
+        import queue as _q
+
+        recs = np.empty((k, self.elem_bytes), np.uint8)
+        got = self.lib.shm_queue_get_k(self.h, k,
+                                       recs.ctypes.data_as(ctypes.c_void_p))
+        if got <= 0:
+            raise _q.Empty()
+        return recs[:got]
+
+    def get(self):
+        """Pop one record -> dict of arrays (raises queue.Empty)."""
+        return self._unpack(self._get_k_impl(1))
+
+    def get_k(self, k):
+        """Pop exactly up-to-k records -> dict of (m, *shape) arrays."""
+        recs = self._get_k_impl(k)
+        return self._unpack(recs, k=len(recs))
+
+    def get_all(self):
+        """Drain the queue -> dict of (m, *shape) arrays."""
+        n = max(self.qsize(), 1)
+        recs = self._get_k_impl(n)
+        return self._unpack(recs, k=len(recs))
+
+    def close(self):
+        if self.h:
+            self.lib.shm_queue_close(self.h)
             self.h = None
 
     def __del__(self):

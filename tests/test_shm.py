@@ -103,6 +103,101 @@ def test_no_torn_reads_across_processes():
     assert reads > 100
 
 
+def test_shm_queue_roundtrip_and_full_empty():
+    import queue as q
+
+    from adaptigraph_tpu.realworld.shm import ShmQueue
+
+    sq = ShmQueue.from_examples(
+        "/agtpu_test_q", {"cmd": 0, "vec": np.zeros((2, 3), np.float32)},
+        capacity=4, create=True)
+    try:
+        with pytest.raises(q.Empty):
+            sq.get()
+        for i in range(4):
+            sq.put({"cmd": i, "vec": np.full((2, 3), i, np.float32)})
+        assert sq.qsize() == 4
+        with pytest.raises(q.Full):
+            sq.put({"cmd": 9, "vec": np.zeros((2, 3), np.float32)})
+        first = sq.get()
+        assert int(first["cmd"]) == 0 and first["vec"][1, 2] == 0.0
+        rest = sq.get_k(2)
+        np.testing.assert_array_equal(rest["cmd"], [1, 2])
+        np.testing.assert_allclose(rest["vec"][:, 0, 0], [1.0, 2.0])
+        allrem = sq.get_all()
+        np.testing.assert_array_equal(allrem["cmd"], [3])
+        assert sq.empty()
+        sq.put({"cmd": 7, "vec": np.zeros((2, 3), np.float32)})
+        sq.clear()
+        assert sq.empty()
+    finally:
+        sq.close()
+
+
+def _queue_consumer(name, n, out_q):
+    from adaptigraph_tpu.realworld.shm import ShmQueue
+
+    sq = ShmQueue(name, [("cmd", (), np.int64), ("value", (), np.float64)],
+                  create=False)
+    got = []
+    deadline = time.time() + 10
+    try:
+        while len(got) < n and time.time() < deadline:
+            if sq.empty():
+                time.sleep(0.001)
+                continue
+            c = sq.get()
+            got.append((int(c["cmd"]), float(c["value"])))
+        out_q.put(got)
+    finally:
+        sq.close()
+
+
+def test_shm_queue_cross_process_fifo():
+    from adaptigraph_tpu.realworld.shm import ShmQueue
+
+    name = "/agtpu_test_qx"
+    sq = ShmQueue(name, [("cmd", (), np.int64), ("value", (), np.float64)],
+                  capacity=128, create=True)
+    out_q = mp.Queue()
+    p = mp.Process(target=_queue_consumer, args=(name, 50, out_q), daemon=True)
+    p.start()
+    try:
+        for i in range(50):
+            sq.put({"cmd": i, "value": i * 0.5})
+        got = out_q.get(timeout=10)
+        assert got == [(i, i * 0.5) for i in range(50)]  # FIFO, no loss
+    finally:
+        p.join(timeout=10)
+        sq.close()
+
+
+def test_camera_command_queue_changes_fps():
+    from adaptigraph_tpu.realworld.camera import SyntheticCameraProcess
+    from adaptigraph_tpu.realworld.cameras import make_multiview_cameras
+
+    cam = make_multiview_cameras(n=1, cam_dis=0.9, cam_height=1.2, width=32,
+                                 height=32, frame="z_down")[0]
+    pts = np.zeros((10, 3), np.float32)
+    proc = SyntheticCameraProcess("/agtpu_test_cmdcam", cam, pts, fps=200.0)
+    proc.start_wait()
+    try:
+        ring = ShmRingBuffer(proc.ring_name, proc.frame_shape, np.float32,
+                             create=False)
+        time.sleep(0.3)
+        fast = ring.count
+        proc.set_fps(5.0)  # command round-trips through the shm queue
+        time.sleep(0.3)  # let in-flight fast frames drain
+        base = ring.count
+        time.sleep(0.6)
+        slow_rate = (ring.count - base) / 0.6
+        ring.close()
+        assert fast > 20  # was actually fast before the command
+        assert slow_rate < 30  # now throttled (5 fps nominal)
+    finally:
+        proc.stop()
+
+
 def test_align_timestamps():
     idx = align_timestamps([[0.0, 0.1, 0.2], [0.05, 0.15], []], 0.12)
     assert idx == [1, 1, -1]
