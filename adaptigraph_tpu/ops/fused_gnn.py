@@ -8,7 +8,7 @@ scan). This kernel runs ``S`` samples per grid program and keeps
 everything — one-hot sender matrices, relation encodings, all ``pstep``
 iterations, the motion head — in VMEM:
 
-  HBM reads per sample: node features + neighbor table (~10 KB)
+  HBM reads per sample: packed node features + positions (~7 KB)
   HBM writes per sample: predicted positions (~1 KB)
 
 Layout: everything edge-sized is 2D ``(S * Ku * N_pad, ·)`` with ``N_pad`` a
@@ -16,7 +16,8 @@ multiple of 8, so Mosaic sees only tile-aligned 2D ops — the per-sample
 sender gather is a ``(Ku*N_pad, N_pad) @ (N_pad, F)`` one-hot MXU matmul,
 receiver broadcast is a K-fold sublane concat, and aggregation is Ku
 aligned sublane slices summed. (A 3D ``(K, N, N)`` dot_general formulation
-hits an unsupported Mosaic shape cast.) Two batching tricks on top:
+hits an unsupported Mosaic shape cast.) On top of that, measured-on-v5e
+batching tricks:
 
 - ``k_used`` drops always-masked neighbor slots: ``EdgeConfig.K`` is
   tile-padded for the XLA gather path (k_multiple=8 -> e.g. 16 slots for
@@ -26,6 +27,19 @@ hits an unsupported Mosaic shape cast.) Two batching tricks on top:
 - ``samples_per_block`` (S) stacks the edge rows of S samples for every
   *weight* matmul (encoders, propagators, head), amortizing per-program
   overhead and filling the MXU; only the one-hot gathers stay per-sample.
+- the in-kernel edge build runs on ``(S*N_pad, N_pad)``-stacked tiles —
+  one chain of VPU ops for all S samples instead of S chains of small ops.
+- all cd-consumed node features ship as ONE packed bf16 input
+  ``[p_inputs | state_norm | attrs | g]`` (single DMA, 4x less input VMEM
+  than five separate 128-lane-padded f32 tensors); only the positions
+  stay f32 (the edge build and the final ``pred = last + motion`` need
+  exact distances/adds for parity with the XLA path).
+- the sender features needed by the relation-feature block are gathered
+  with ONE one-hot matmul per sample (``[state_norm | attrs | g]``
+  concatenated) instead of three, and the two per-pstep node projections
+  run as one ``(nf, 2nf)`` matmul.
+- ``want_motion=False`` (the MPPI path — motion is unused there) drops
+  the second kernel output and its DMA/VMEM cost.
 
 Functionally identical to ``models.gnn.forward`` for configs with
 ``rel_particle_dim == rel_density_dim == density_dim == 0`` (all shipped
@@ -59,19 +73,25 @@ def _supports(cfg: GNNConfig):
     )
 
 
-def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
-            p_inputs_ref, state_norm_ref, attrs_ref, g_ref, nbr_ref, mask_ref,
-            last_state_ref,
+def _stackS(xs, S):
+    return jnp.concatenate(xs, axis=0) if S > 1 else xs[0]
+
+
+def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
+            want_motion,
+            nodes_ref, nbr_ref, mask_ref, last_state_ref,
             pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
             re0w, re0b, re1w, re1b, re2w, re2b,
-            rp_w1, rp_w2, rp_w3, rp_b,
+            rp_w1, rp_w23, rp_b,
             pp_wa, pp_wb, pp_b,
             nr0w, nr0b, nr1w, nr1b, nr2w, nr2b,
-            pred_ref, motion_ref):
+            *out_refs):
     f32 = jnp.float32
     cd = compute_dtype
     KN = K * Np
     SN = S * Np
+    nf = cfg.nf_effect
+    nh3 = cfg.n_his * 3
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -94,12 +114,12 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
             axis=0,
         ) if S > 1 else jnp.concatenate([x] * K, axis=0)
 
-    # ---- per-sample one-hot sender matrices (K*Np, Np) + edge masks ----
+    # ---- one-hot sender matrices (per sample: (K*Np, Np)) + edge masks ----
     if edge_build is None:
-        col = jax.lax.broadcasted_iota(jnp.int32, (KN, Np), 1)
-        ohs = [
-            (nbr_ref[0, s * KN:(s + 1) * KN] == col).astype(cd) for s in range(S)
-        ]
+        # one compare on the full (S*K*Np, Np) stack; per-sample slices below
+        col = jax.lax.broadcasted_iota(jnp.int32, (S * KN, Np), 1)
+        oh_all = (nbr_ref[0] == col).astype(cd)
+        ohs = [oh_all[s * KN:(s + 1) * KN] for s in range(S)]
         mask = mask_ref[0].astype(cd)  # (S*K*Np, 1)
     else:
         # In-kernel radius∧topk edge construction (semantics of
@@ -107,67 +127,76 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
         # valid — the MPPI rollout case): K == topk slots per receiver, the
         # slot-k one-hot IS the gather matrix. Ties break to the smallest
         # sender index, matching lax.top_k on negated distances.
-        # All comparisons stay on full (Np, Np) f32 tiles — Mosaic rejects
-        # compares on (Np, 1)-shaped operands ("Target does not support this
+        # All S samples' distance matrices are stacked into one (S*Np, Np)
+        # tile chain — same arithmetic per row, ~S x fewer VPU op issues.
+        # Comparisons stay on full 2D f32 tiles — Mosaic rejects compares on
+        # (Np, 1)-shaped operands ("Target does not support this
         # comparison"); narrow results are f32-sliced afterward.
         topk, adj_thresh, max_nobj, N_real = edge_build
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1).astype(f32)
-        valid_c = (iota_c < N_real).astype(f32)
-        tool_r = (iota_r >= max_nobj).astype(f32) * (iota_r < N_real).astype(f32)
-        tool_c = (iota_c >= max_nobj).astype(f32) * (iota_c < N_real).astype(f32)
-        pair_ok = valid_c * (1.0 - tool_r * tool_c)  # 1 where a real non-tool-tool pair
-        row_valid = (iota_r < N_real).astype(f32)[:, 0:1]  # (Np, 1)
+        iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
+        iota_c1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1).astype(f32)
+        valid_c1 = (iota_c1 < N_real).astype(f32)
+        tool_r1 = (iota_r1 >= max_nobj).astype(f32) * (iota_r1 < N_real).astype(f32)
+        tool_c1 = (iota_c1 >= max_nobj).astype(f32) * (iota_c1 < N_real).astype(f32)
+        pair_ok = _stackS([valid_c1 * (1.0 - tool_r1 * tool_c1)] * S, S)  # (SN, Np)
+        row_valid = _stackS([(iota_r1 < N_real).astype(f32)[:, 0:1]] * S, S)
+        iota_c = _stackS([iota_c1] * S, S)
         BIG = jnp.float32(1e10)
         thresh = jnp.float32(adj_thresh * adj_thresh)
-        ohs, masks = [], []
-        for s in range(S):
-            xs = last_state_ref[0, s * Np:(s + 1) * Np].astype(f32)  # (Np, 3)
-            D = jnp.zeros((Np, Np), f32)
-            for d in range(3):
-                cd_ = xs[:, d:d + 1]
-                diff = cd_ - cd_.reshape(1, Np)
-                D = D + diff * diff
-            D = D * pair_ok + (1.0 - pair_ok) * BIG
-            oh_rows, mk_rows = [], []
-            for _k in range(topk):
-                m = jnp.min(D, axis=1, keepdims=True)  # (Np, 1)
-                mb = jnp.broadcast_to(m, (Np, Np))
-                cand = (D <= mb).astype(f32)
-                # first minimal column: min over candidate column indices
-                idx = jnp.min(iota_c * cand + (1.0 - cand) * Np, axis=1,
-                              keepdims=True)
-                oh = (iota_c == jnp.broadcast_to(idx, (Np, Np))).astype(cd)
-                ok2 = ((mb < thresh).astype(f32) *
-                       (mb < BIG * 0.5).astype(f32))[:, 0:1]  # (Np, 1)
-                mk_rows.append(ok2 * row_valid)
-                oh_rows.append(oh)
-                D = D + oh.astype(f32) * BIG
-            ohs.append(jnp.concatenate(oh_rows, axis=0))   # (K*Np, Np)
-            masks.append(jnp.concatenate(mk_rows, axis=0))  # (K*Np, 1)
-        mask = (jnp.concatenate(masks, axis=0) if S > 1 else masks[0]).astype(cd)
+        xs = last_state_ref[0].astype(f32)  # (SN, 3)
+        D = jnp.zeros((SN, Np), f32)
+        for d in range(3):
+            colv = xs[:, d:d + 1]  # (SN, 1)
+            rowv = _stackS(
+                [jnp.broadcast_to(xs[s * Np:(s + 1) * Np, d:d + 1].reshape(1, Np),
+                                  (Np, Np)) for s in range(S)], S)
+            diff = colv - rowv
+            D = D + diff * diff
+        D = D * pair_ok + (1.0 - pair_ok) * BIG
+        oh_ks, mk_ks = [], []
+        for _k in range(topk):
+            m = jnp.min(D, axis=1, keepdims=True)  # (SN, 1)
+            mb = jnp.broadcast_to(m, (SN, Np))
+            cand = (D <= mb).astype(f32)
+            # first minimal column: min over candidate column indices
+            idx = jnp.min(iota_c * cand + (1.0 - cand) * Np, axis=1,
+                          keepdims=True)
+            oh = (iota_c == jnp.broadcast_to(idx, (SN, Np))).astype(cd)
+            ok2 = ((mb < thresh).astype(f32) *
+                   (mb < BIG * 0.5).astype(f32))[:, 0:1]  # (SN, 1)
+            mk_ks.append(ok2 * row_valid)
+            oh_ks.append(oh)
+            D = D + oh.astype(f32) * BIG
+        ohs = [
+            jnp.concatenate([oh_ks[k][s * Np:(s + 1) * Np] for k in range(K)],
+                            axis=0) for s in range(S)
+        ]  # per sample (K*Np, Np)
+        mask = _stackS(
+            [jnp.concatenate([mk_ks[k][s * Np:(s + 1) * Np] for k in range(K)],
+                             axis=0) for s in range(S)], S).astype(cd)
 
     def gather_s(x):  # (S*Np, F') -> (S*K*Np, F')
         outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd) for s in range(S)]
         return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
 
     # ---- relation features (models/gnn.py:249-283 semantics) ----
-    attrs = attrs_ref[0].astype(cd)            # (S*Np, 2)
-    state_norm = state_norm_ref[0].astype(cd)  # (S*Np, n_his*3)
-    g = g_ref[0].astype(cd)                    # (S*Np, 1)
-
+    # packed node input columns: [p_inputs (Dp) | state_norm (nh3) | attrs (2) | g (1)]
+    nodes = nodes_ref[0]  # (S*Np, Dp+nh3+3), already compute_dtype
+    node_g = nodes[:, Dp:]            # [state_norm | attrs | g]
+    T = tileK(node_g)                 # receiver side, one materialization
+    G = gather_s(node_g)              # sender side, ONE one-hot matmul/sample
     rel_inputs = jnp.concatenate(
         [
-            tileK(attrs),
-            gather_s(attrs),
-            jnp.abs(tileK(g) - gather_s(g)),  # n_instance == 1 group diff
-            tileK(state_norm) - gather_s(state_norm),
+            T[:, nh3:nh3 + 2],
+            G[:, nh3:nh3 + 2],
+            jnp.abs(T[:, nh3 + 2:] - G[:, nh3 + 2:]),  # n_instance == 1 group diff
+            T[:, :nh3] - G[:, :nh3],
         ],
         axis=-1,
     )  # (S*K*Np, rel_in)
 
     # ---- encoders ----
-    p_inputs = p_inputs_ref[0].astype(cd)  # (S*Np, Dp)
+    p_inputs = nodes[:, :Dp]  # (S*Np, Dp)
     particle_encode = mlp3(p_inputs, pe0w, pe0b, pe1w, pe1b, pe2w, pe2b, True)
     relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)
 
@@ -177,8 +206,9 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
 
     effect = particle_encode
     for _ in range(cfg.pstep):
-        recv = dot(effect, rp_w2[:]).astype(cd)            # (S*Np, F)
-        send = gather_s(dot(effect, rp_w3[:]).astype(cd))  # (S*K*Np, F)
+        rs = dot(effect, rp_w23[:]).astype(cd)  # recv | send projections fused
+        recv = rs[:, :nf]                       # (S*Np, F)
+        send = gather_s(rs[:, nf:])             # (S*K*Np, F)
         eff_rel = jnp.maximum(rel_base + tileK(recv) + send, 0.0)
         masked = (eff_rel * mask).astype(cd)  # stays bf16; f32-accumulated below
         # sum the K slots per sample: rows s*KN + k*Np + i, k = 0..K-1
@@ -196,19 +226,21 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
     # ---- motion head (padded rows written too; sliced off outside) ----
     motion = mlp3(effect, nr0w, nr0b, nr1w, nr1b, nr2w, nr2b, False).astype(f32)
     clamped = jnp.clip(motion, -cfg.motion_clamp, cfg.motion_clamp)
-    pred_ref[0] = last_state_ref[0].astype(f32) + clamped
-    motion_ref[0] = motion
+    out_refs[0][0] = last_state_ref[0].astype(f32) + clamped
+    if want_motion:
+        out_refs[1][0] = motion
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "interpret", "k_used",
                      "samples_per_block", "build_edges", "adj_radius",
-                     "edge_topk"),
+                     "edge_topk", "want_motion"),
 )
 def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat16,
                         interpret=False, k_used=None, samples_per_block=2,
-                        build_edges=False, adj_radius=None, edge_topk=None):
+                        build_edges=False, adj_radius=None, edge_topk=None,
+                        want_motion=True):
     """Batched fused forward. Same graph dict as ``forward_batch`` (leading
     batch dim on every field); returns (pred_pos, motion), (B, max_nobj, 3).
 
@@ -216,13 +248,16 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
       the stored slot count. Slots >= k_used must be masked (EdgeConfig pads
       them with mask=False).
     samples_per_block: samples fused into one grid program (VMEM working set
-      scales linearly; 2 fits rope scale within v5e's 16 MB scoped VMEM —
-      S=4 at k_used=16 needs 18.3 MB and is rejected by Mosaic).
+      scales linearly; see the spb heuristic in planning/forward.py for the
+      measured v5e ceilings).
     build_edges: construct the radius∧topk graph INSIDE the kernel from the
       last state frame (policy "none", all object slots valid — the MPPI
       rollout case). ``graphs`` then needs no neighbors/nbr_mask; pass
       ``adj_radius`` (static) and optionally ``edge_topk``. Saves the XLA
       edge-build pass and the neighbor-table HBM round trip per substep.
+    want_motion: emit the raw-motion output (the MPPI path never reads it;
+      False drops the second output tensor and its DMA). Returns
+      ``(pred, None)`` when False.
     """
     assert _supports(cfg), "config not supported by the fused kernel"
     N = cfg.n_nodes
@@ -254,7 +289,7 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     # ---- cheap node-level prep in XLA (O(B*N*small)) ----
     state_res = state[:, 1:] - state[:, :-1]
     state_norm = jnp.concatenate([state_res, state[:, -1:]], axis=1)
-    state_norm_t = padN(jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3))
+    state_norm_f = jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3)
 
     phys = graphs["physics_param"]
     if phys.ndim == 2 and phys.shape[-1] == cfg.phys_dim:
@@ -265,19 +300,22 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
 
     parts = [graphs["attrs"]]
     if cfg.state_dim > 0:
-        parts.append(jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3))
+        parts.append(state_norm_f)
     parts.append(phys_full)
     if cfg.action_dim > 0:
         parts.append(graphs["action"])
-    p_inputs = padN(jnp.concatenate(parts, axis=-1))
+    p_inputs = jnp.concatenate(parts, axis=-1)
+    Dp = p_inputs.shape[-1]
 
-    attrs_p = padN(graphs["attrs"])
-    g = padN(
-        jnp.concatenate(
-            [graphs["p_instance"], jnp.zeros((B, n_s, cfg.n_instance), graphs["p_instance"].dtype)],
-            axis=1,
-        )
+    g = jnp.concatenate(
+        [graphs["p_instance"],
+         jnp.zeros((B, n_s, cfg.n_instance), graphs["p_instance"].dtype)],
+        axis=1,
     )
+    # one packed bf16 node tensor: [p_inputs | state_norm | attrs | g]
+    nodes = padN(
+        jnp.concatenate([p_inputs, state_norm_f, graphs["attrs"], g], axis=-1)
+    ).astype(compute_dtype)
     last_state_p = padN(state[:, -1])
 
     if build_edges:
@@ -300,6 +338,7 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     def w(x):
         return jnp.asarray(x, compute_dtype)
 
+    rp_w = p["relation_propagator"]["w"]
     weights = [
         w(p["particle_encoder"][0]["w"]), w(p["particle_encoder"][0]["b"]),
         w(p["particle_encoder"][1]["w"]), w(p["particle_encoder"][1]["b"]),
@@ -307,9 +346,9 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
         w(p["relation_encoder"][0]["w"]), w(p["relation_encoder"][0]["b"]),
         w(p["relation_encoder"][1]["w"]), w(p["relation_encoder"][1]["b"]),
         w(p["relation_encoder"][2]["w"]), w(p["relation_encoder"][2]["b"]),
-        w(p["relation_propagator"]["w"][:nf]),
-        w(p["relation_propagator"]["w"][nf : 2 * nf]),
-        w(p["relation_propagator"]["w"][2 * nf :]),
+        w(rp_w[:nf]),
+        # recv/send projections fused into one (nf, 2nf) matmul
+        jnp.concatenate([w(rp_w[nf:2 * nf]), w(rp_w[2 * nf:])], axis=1),
         w(p["relation_propagator"]["b"]),
         w(p["particle_propagator"]["w"][:nf]),
         w(p["particle_propagator"]["w"][nf:]),
@@ -331,33 +370,27 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     else:
         nbr_in = nbr_flat.reshape(nB, S * K * Np, 1)
         mask_in = mask_flat.reshape(nB, S * K * Np, 1)
-    ins = [
-        blockS(p_inputs),
-        blockS(state_norm_t),
-        blockS(attrs_p),
-        blockS(g),
-        nbr_in,
-        mask_in,
-        blockS(last_state_p),
-    ]
+    ins = [blockS(nodes), nbr_in, mask_in, blockS(last_state_p)]
     in_specs = [block1(x.shape[1:]) for x in ins] + [wspec(x) for x in weights]
 
-    out_shape = (
-        jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32),
-        jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32),
-    )
-    out_specs = (block1((S * Np, 3)), block1((S * Np, 3)))
+    out_shape = [jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32)]
+    out_specs = [block1((S * Np, 3))]
+    if want_motion:
+        out_shape.append(jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32))
+        out_specs.append(block1((S * Np, 3)))
 
     edge_build = (K, float(adj_radius), n_p, N) if build_edges else None
-    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K, S, edge_build)
-    pred, motion = pl.pallas_call(
+    kernel = functools.partial(_kernel, cfg, compute_dtype, Np, K, S, edge_build,
+                               Dp, want_motion)
+    outs = pl.pallas_call(
         kernel,
         grid=(nB,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*ins, *weights)
-    pred = pred.reshape(B, Np, 3)
-    motion = motion.reshape(B, Np, 3)
-    return pred[:, :n_p], motion[:, :n_p]
+    pred = outs[0].reshape(B, Np, 3)[:, :n_p]
+    if want_motion:
+        return pred, outs[1].reshape(B, Np, 3)[:, :n_p]
+    return pred, None

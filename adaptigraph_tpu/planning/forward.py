@@ -220,19 +220,19 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     kernel_edges = use_fused and edge.policy == "none"
     if kernel_edges:
         # Larger sample blocks amortize weight matmuls over more edge rows
-        # (~11% faster at rope scale) but VMEM grows with S*K*Np; ~6000 edge
-        # rows is the empirical v5e scoped-VMEM ceiling (granular S=4 at 8960
-        # rows exceeds the 16 MB limit by 0.7 MB).
+        # and per-program overhead, but VMEM grows with S*K*Np; ~9000 edge
+        # rows is the empirical v5e scoped-VMEM ceiling for the packed-input
+        # kernel (rope topk=10 -> S=8, granular topk=20 -> S=4).
         Np8 = (gnn.n_nodes + 7) // 8 * 8
-        spb = next((s for s in (4, 2, 1) if s * edge.topk * Np8 <= 6000), 1)
+        spb = next((s for s in (8, 4, 2, 1) if s * edge.topk * Np8 <= 9000), 1)
         fwd = lambda g: fused_forward_batch(
             params, g, gnn, compute_dtype=compute_dtype, build_edges=True,
             adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,
-            samples_per_block=spb)
+            samples_per_block=spb, want_motion=False)
     elif use_fused:
         fwd = lambda g: fused_forward_batch(
             params, g, gnn, compute_dtype=compute_dtype,
-            k_used=edge.topk + edge.max_neef)
+            k_used=edge.topk + edge.max_neef, want_motion=False)
     else:
         fwd = lambda g: forward_batch(params, g, gnn, compute_dtype=compute_dtype)
 
