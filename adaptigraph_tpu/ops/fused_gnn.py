@@ -48,11 +48,15 @@ hot paths (MPPI, rollout); training keeps the XLA path for autodiff.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# temporary profiling hook: comma-joined {noedge,nogather,norelmlp,nopstep}
+_ABLATE = set(filter(None, os.environ.get("FUSED_ABLATE", "").split(",")))
 
 from adaptigraph_tpu.models.gnn import GNNConfig
 
@@ -75,6 +79,100 @@ def _supports(cfg: GNNConfig):
 
 def _stackS(xs, S):
     return jnp.concatenate(xs, axis=0) if S > 1 else xs[0]
+
+
+def _edges_stacked(xs, S, Np, K, edge_build, cd):
+    """In-kernel radius∧topk edge construction (semantics of
+    ops.graph.build_neighbor_graph with policy "none", all object slots
+    valid — the MPPI rollout case): K == topk slots per receiver, the
+    slot-k one-hot IS the gather matrix. Ties break to the smallest
+    sender index, matching lax.top_k on negated distances.
+
+    All S samples' distance matrices are stacked into one (S*Np, Np)
+    tile chain — same arithmetic per row, ~S x fewer VPU op issues.
+    Comparisons stay on full 2D f32 tiles — Mosaic rejects compares on
+    (Np, 1)-shaped operands ("Target does not support this comparison");
+    narrow results are f32-sliced afterward.
+
+    xs: (S*Np, 3) f32 positions. Returns (per-sample one-hots
+    [(K*Np, Np)] in cd, edge-mask BIAS (S*K*Np, 1) in cd: 0 on real edges,
+    -3e38 on masked ones — added to the relation pre-activation, the relu
+    turns masked rows into exact zeros; a narrow bf16 bias costs 4x less
+    VMEM than an f32 mask and removes the per-use compare/select).
+    """
+    f32 = jnp.float32
+    SN = S * Np
+    topk, adj_thresh, max_nobj, N_real = edge_build
+    iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
+    iota_c1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1).astype(f32)
+    valid_c1 = (iota_c1 < N_real).astype(f32)
+    tool_r1 = (iota_r1 >= max_nobj).astype(f32) * (iota_r1 < N_real).astype(f32)
+    tool_c1 = (iota_c1 >= max_nobj).astype(f32) * (iota_c1 < N_real).astype(f32)
+    pair_ok = _stackS([valid_c1 * (1.0 - tool_r1 * tool_c1)] * S, S)  # (SN, Np)
+    row_valid = _stackS([(iota_r1 < N_real).astype(f32)[:, 0:1]] * S, S)
+    iota_c = _stackS([iota_c1] * S, S)
+    BIG = jnp.float32(1e10)
+    thresh = jnp.float32(adj_thresh * adj_thresh)
+    D = jnp.zeros((SN, Np), f32)
+    for d in range(3):
+        colv = xs[:, d:d + 1]  # (SN, 1)
+        rowv = _stackS(
+            [jnp.broadcast_to(xs[s * Np:(s + 1) * Np, d:d + 1].reshape(1, Np),
+                              (Np, Np)) for s in range(S)], S)
+        diff = colv - rowv
+        D = D + diff * diff
+    D = D * pair_ok + (1.0 - pair_ok) * BIG
+    oh_ks, mk_ks = [], []
+    for _k in range(topk):
+        m = jnp.min(D, axis=1, keepdims=True)  # (SN, 1)
+        mb = jnp.broadcast_to(m, (SN, Np))
+        cand = D <= mb
+        # first minimal column: min over candidate column indices
+        idx = jnp.min(jnp.where(cand, iota_c, float(Np)), axis=1,
+                      keepdims=True)
+        oh = (iota_c == jnp.broadcast_to(idx, (SN, Np))).astype(cd)
+        # mb >= BIG rows (masked pairs) fail mb < thresh since thresh < BIG
+        ok2 = (mb < thresh).astype(f32)[:, 0:1]  # (SN, 1)
+        mk_ks.append(((ok2 * row_valid) - 1.0) * jnp.float32(3e38))
+        oh_ks.append(oh)
+        D = jnp.where(jnp.broadcast_to(idx, (SN, Np)) == iota_c, BIG, D)
+    ohs = [
+        jnp.concatenate([oh_ks[k][s * Np:(s + 1) * Np] for k in range(topk)],
+                        axis=0) for s in range(S)
+    ]  # per sample (K*Np, Np)
+    bias = _stackS(
+        [jnp.concatenate([mk_ks[k][s * Np:(s + 1) * Np] for k in range(topk)],
+                         axis=0) for s in range(S)], S).astype(cd)
+    return ohs, bias
+
+
+def _weight_list(params, cfg, compute_dtype):
+    """Flat kernel-ref weight list (the order of the ``_kernel`` signature)."""
+    p = params
+    nf = cfg.nf_effect
+
+    def w(x):
+        return jnp.asarray(x, compute_dtype)
+
+    rp_w = p["relation_propagator"]["w"]
+    return [
+        w(p["particle_encoder"][0]["w"]), w(p["particle_encoder"][0]["b"]),
+        w(p["particle_encoder"][1]["w"]), w(p["particle_encoder"][1]["b"]),
+        w(p["particle_encoder"][2]["w"]), w(p["particle_encoder"][2]["b"]),
+        w(p["relation_encoder"][0]["w"]), w(p["relation_encoder"][0]["b"]),
+        w(p["relation_encoder"][1]["w"]), w(p["relation_encoder"][1]["b"]),
+        w(p["relation_encoder"][2]["w"]), w(p["relation_encoder"][2]["b"]),
+        w(rp_w[:nf]),
+        # recv/send projections fused into one (nf, 2nf) matmul
+        jnp.concatenate([w(rp_w[nf:2 * nf]), w(rp_w[2 * nf:])], axis=1),
+        w(p["relation_propagator"]["b"]),
+        w(p["particle_propagator"]["w"][:nf]),
+        w(p["particle_propagator"]["w"][nf:]),
+        w(p["particle_propagator"]["b"]),
+        w(p["non_rigid_predictor"][0]["w"]), w(p["non_rigid_predictor"][0]["b"]),
+        w(p["non_rigid_predictor"][1]["w"]), w(p["non_rigid_predictor"][1]["b"]),
+        w(p["non_rigid_predictor"][2]["w"]), w(p["non_rigid_predictor"][2]["b"]),
+    ]
 
 
 def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
@@ -109,73 +207,31 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     # Edge arrays are stacked (S*K*Np, ·): sample s occupies rows
     # [s*KN, (s+1)*KN), inner order (k, i).
     def tileK(x):  # (S*Np, F') -> (S*K*Np, F') receiver broadcast
-        return jnp.concatenate(
-            [jnp.concatenate([x[s * Np:(s + 1) * Np]] * K, axis=0) for s in range(S)],
-            axis=0,
-        ) if S > 1 else jnp.concatenate([x] * K, axis=0)
+        F = x.shape[-1]
+        return jnp.broadcast_to(
+            x.reshape(S, 1, Np, F), (S, K, Np, F)
+        ).reshape(S * K * Np, F)
 
     # ---- one-hot sender matrices (per sample: (K*Np, Np)) + edge masks ----
-    if edge_build is None:
+    if "noedge" in _ABLATE and edge_build is not None:
+        ir = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+        one = [(ic == ((ir + k) % Np)).astype(cd) for k in range(K)]
+        ohs = [jnp.concatenate(one, axis=0)] * S
+        rel_bias = jnp.zeros((S * KN, 1), cd)
+    elif edge_build is None:
         # one compare on the full (S*K*Np, Np) stack; per-sample slices below
         col = jax.lax.broadcasted_iota(jnp.int32, (S * KN, Np), 1)
         oh_all = (nbr_ref[0] == col).astype(cd)
         ohs = [oh_all[s * KN:(s + 1) * KN] for s in range(S)]
-        mask = mask_ref[0].astype(cd)  # (S*K*Np, 1)
+        rel_bias = ((mask_ref[0] - 1.0) * jnp.float32(3e38)).astype(cd)
     else:
-        # In-kernel radius∧topk edge construction (semantics of
-        # ops.graph.build_neighbor_graph with policy "none", all object slots
-        # valid — the MPPI rollout case): K == topk slots per receiver, the
-        # slot-k one-hot IS the gather matrix. Ties break to the smallest
-        # sender index, matching lax.top_k on negated distances.
-        # All S samples' distance matrices are stacked into one (S*Np, Np)
-        # tile chain — same arithmetic per row, ~S x fewer VPU op issues.
-        # Comparisons stay on full 2D f32 tiles — Mosaic rejects compares on
-        # (Np, 1)-shaped operands ("Target does not support this
-        # comparison"); narrow results are f32-sliced afterward.
-        topk, adj_thresh, max_nobj, N_real = edge_build
-        iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
-        iota_c1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1).astype(f32)
-        valid_c1 = (iota_c1 < N_real).astype(f32)
-        tool_r1 = (iota_r1 >= max_nobj).astype(f32) * (iota_r1 < N_real).astype(f32)
-        tool_c1 = (iota_c1 >= max_nobj).astype(f32) * (iota_c1 < N_real).astype(f32)
-        pair_ok = _stackS([valid_c1 * (1.0 - tool_r1 * tool_c1)] * S, S)  # (SN, Np)
-        row_valid = _stackS([(iota_r1 < N_real).astype(f32)[:, 0:1]] * S, S)
-        iota_c = _stackS([iota_c1] * S, S)
-        BIG = jnp.float32(1e10)
-        thresh = jnp.float32(adj_thresh * adj_thresh)
-        xs = last_state_ref[0].astype(f32)  # (SN, 3)
-        D = jnp.zeros((SN, Np), f32)
-        for d in range(3):
-            colv = xs[:, d:d + 1]  # (SN, 1)
-            rowv = _stackS(
-                [jnp.broadcast_to(xs[s * Np:(s + 1) * Np, d:d + 1].reshape(1, Np),
-                                  (Np, Np)) for s in range(S)], S)
-            diff = colv - rowv
-            D = D + diff * diff
-        D = D * pair_ok + (1.0 - pair_ok) * BIG
-        oh_ks, mk_ks = [], []
-        for _k in range(topk):
-            m = jnp.min(D, axis=1, keepdims=True)  # (SN, 1)
-            mb = jnp.broadcast_to(m, (SN, Np))
-            cand = (D <= mb).astype(f32)
-            # first minimal column: min over candidate column indices
-            idx = jnp.min(iota_c * cand + (1.0 - cand) * Np, axis=1,
-                          keepdims=True)
-            oh = (iota_c == jnp.broadcast_to(idx, (SN, Np))).astype(cd)
-            ok2 = ((mb < thresh).astype(f32) *
-                   (mb < BIG * 0.5).astype(f32))[:, 0:1]  # (SN, 1)
-            mk_ks.append(ok2 * row_valid)
-            oh_ks.append(oh)
-            D = D + oh.astype(f32) * BIG
-        ohs = [
-            jnp.concatenate([oh_ks[k][s * Np:(s + 1) * Np] for k in range(K)],
-                            axis=0) for s in range(S)
-        ]  # per sample (K*Np, Np)
-        mask = _stackS(
-            [jnp.concatenate([mk_ks[k][s * Np:(s + 1) * Np] for k in range(K)],
-                             axis=0) for s in range(S)], S).astype(cd)
+        ohs, rel_bias = _edges_stacked(last_state_ref[0].astype(f32), S, Np, K,
+                                       edge_build, cd)
 
     def gather_s(x):  # (S*Np, F') -> (S*K*Np, F')
+        if "nogather" in _ABLATE:
+            return tileK(x)
         outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd) for s in range(S)]
         return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
 
@@ -198,27 +254,28 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     # ---- encoders ----
     p_inputs = nodes[:, :Dp]  # (S*Np, Dp)
     particle_encode = mlp3(p_inputs, pe0w, pe0b, pe1w, pe1b, pe2w, pe2b, True)
-    relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)
+    if "norelmlp" in _ABLATE:
+        relation_encode = jnp.broadcast_to(rel_inputs[:, :1], (S * KN, nf)).astype(cd)
+    else:
+        relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)
 
     # ---- pstep message passing with hoisted linear terms ----
-    rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd)   # (S*K*Np, F)
+    # the edge-mask bias folds into rel_base as a -inf pre-activation: masked
+    # rows come out of the relu as exact zeros, so the per-pstep mask multiply
+    # disappears (relu(-3e38 + x) == 0 for any finite bf16 activation x)
+    rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd) + rel_bias
     part_base = (dot(particle_encode, pp_wa[:]) + pp_b[:]).astype(cd)  # (S*Np, F)
 
     effect = particle_encode
-    for _ in range(cfg.pstep):
+    for _ in range(0 if "nopstep" in _ABLATE else cfg.pstep):
         rs = dot(effect, rp_w23[:]).astype(cd)  # recv | send projections fused
         recv = rs[:, :nf]                       # (S*Np, F)
         send = gather_s(rs[:, nf:])             # (S*K*Np, F)
-        eff_rel = jnp.maximum(rel_base + tileK(recv) + send, 0.0)
-        masked = (eff_rel * mask).astype(cd)  # stays bf16; f32-accumulated below
-        # sum the K slots per sample: rows s*KN + k*Np + i, k = 0..K-1
-        aggs = []
-        for s in range(S):
-            a = masked[s * KN: s * KN + Np].astype(f32)
-            for k in range(1, K):
-                a = a + masked[s * KN + k * Np: s * KN + (k + 1) * Np].astype(f32)
-            aggs.append(a)
-        agg = jnp.concatenate(aggs, axis=0) if S > 1 else aggs[0]  # (S*Np, F)
+        masked = jnp.maximum(rel_base + tileK(recv) + send, 0.0)
+        # sum the K slots per sample (rows s*KN + k*Np + i): one 4D reduction
+        # over the k axis instead of S*K sublane slice-adds
+        agg = jnp.sum(masked.reshape(S, K, Np, nf), axis=1,
+                      dtype=f32).reshape(SN, nf)
         effect = jnp.maximum(
             part_base + dot(agg.astype(cd), pp_wb[:]).astype(cd) + effect, 0.0
         ).astype(cd)
@@ -332,31 +389,7 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
             jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1).astype(jnp.float32)
         )
 
-    p = params
-    nf = cfg.nf_effect
-
-    def w(x):
-        return jnp.asarray(x, compute_dtype)
-
-    rp_w = p["relation_propagator"]["w"]
-    weights = [
-        w(p["particle_encoder"][0]["w"]), w(p["particle_encoder"][0]["b"]),
-        w(p["particle_encoder"][1]["w"]), w(p["particle_encoder"][1]["b"]),
-        w(p["particle_encoder"][2]["w"]), w(p["particle_encoder"][2]["b"]),
-        w(p["relation_encoder"][0]["w"]), w(p["relation_encoder"][0]["b"]),
-        w(p["relation_encoder"][1]["w"]), w(p["relation_encoder"][1]["b"]),
-        w(p["relation_encoder"][2]["w"]), w(p["relation_encoder"][2]["b"]),
-        w(rp_w[:nf]),
-        # recv/send projections fused into one (nf, 2nf) matmul
-        jnp.concatenate([w(rp_w[nf:2 * nf]), w(rp_w[2 * nf:])], axis=1),
-        w(p["relation_propagator"]["b"]),
-        w(p["particle_propagator"]["w"][:nf]),
-        w(p["particle_propagator"]["w"][nf:]),
-        w(p["particle_propagator"]["b"]),
-        w(p["non_rigid_predictor"][0]["w"]), w(p["non_rigid_predictor"][0]["b"]),
-        w(p["non_rigid_predictor"][1]["w"]), w(p["non_rigid_predictor"][1]["b"]),
-        w(p["non_rigid_predictor"][2]["w"]), w(p["non_rigid_predictor"][2]["b"]),
-    ]
+    weights = _weight_list(params, cfg, compute_dtype)
 
     def block1(shape):
         return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
@@ -394,3 +427,236 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     if want_motion:
         return pred, outs[1].reshape(B, Np, 3)[:, :n_p]
     return pred, None
+
+
+def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
+                    max_repeat, gripper_lift,
+                    pin_ref, sa_ref, repeat1_ref, rmax_ref,
+                    pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
+                    re0w, re0b, re1w, re1b, re2w, re2b,
+                    rp_w1, rp_w23, rp_b,
+                    pp_wa, pp_wb, pp_b,
+                    nr0w, nr0b, nr1w, nr1b, nr2w, nr2b,
+                    rec_ref):
+    """Whole-chunk MPPI rollout: the full push-substep loop runs INSIDE the
+    kernel (per-substep history shift, edge rebuild, GNN forward, eef
+    re-sticking all in VMEM).
+
+    Replaces ``max_repeat`` separate kernel launches + XLA glue per chunk
+    (reference semantics: src/planning/forward_dynamics.py:156-168). Object
+    rows follow the model; eef rows advance by the per-sample action delta
+    with y re-stuck to the predicted object min-y; each sample's state is
+    recorded at its own integer repeat count.
+    """
+    f32 = jnp.float32
+    cd = compute_dtype
+    SN = S * Np
+    nf = cfg.nf_effect
+    n_his = cfg.n_his
+    _, _, max_nobj, N_real = edge_build
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mlp3(x, w0, b0, w1, b1, w2, b2, final_relu):
+        x = jnp.maximum(dot(x, w0[:]) + b0[:], 0.0).astype(cd)
+        x = jnp.maximum(dot(x, w1[:]) + b1[:], 0.0).astype(cd)
+        x = dot(x, w2[:]) + b2[:]
+        return (jnp.maximum(x, 0.0) if final_relu else x).astype(cd)
+
+    def tileK(x):
+        F = x.shape[-1]
+        return jnp.broadcast_to(
+            x.reshape(S, 1, Np, F), (S, K, Np, F)).reshape(S * K * Np, F)
+
+    # constant row masks, built wide then lane-sliced (no narrow compares)
+    iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
+    obj_w = _stackS([(iota_r1 < max_nobj).astype(f32)] * S, S)       # (SN, Np)
+    eef_w = _stackS([((iota_r1 >= max_nobj).astype(f32) *
+                      (iota_r1 < N_real).astype(f32))] * S, S)
+    obj1 = obj_w[:, 0:1]                  # (SN, 1) 0/1
+    eef3 = eef_w[:, 0:3]                  # (SN, 3) 0/1
+    attrs_c = jnp.concatenate([obj_w[:, 0:1], eef_w[:, 0:1]], axis=1).astype(cd)
+    g_c = obj1.astype(cd)                 # p_instance == 1 for object rows
+
+    # constant across substeps: particle encoding + its propagator base
+    p_inputs = pin_ref[0]                  # (SN, Dp) cd
+    particle_encode = mlp3(p_inputs, pe0w, pe0b, pe1w, pe1b, pe2w, pe2b, True)
+    part_base = (dot(particle_encode, pp_wa[:]) + pp_b[:]).astype(cd)
+
+    sa = sa_ref[0].astype(f32)             # (SN, 6): [state0 | action]
+    state0, action = sa[:, :3], sa[:, 3:]
+    repeat1 = repeat1_ref[0]               # (SN, 1) f32 per-sample repeat
+    BIGY = jnp.float32(1e10)
+
+    def substep(carry):
+        hs, rec, ai = carry               # hs: tuple of n_his (SN, 3) f32
+        last = hs[-1]
+        ohs, rel_bias = _edges_stacked(last, S, Np, K, edge_build, cd)
+
+        def gather_s(x):
+            outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd)
+                    for s in range(S)]
+            return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
+
+        sn = jnp.concatenate(
+            [hs[i + 1] - hs[i] for i in range(n_his - 1)] + [last], axis=1
+        ).astype(cd)                       # (SN, n_his*3)
+        node_g = jnp.concatenate([sn, attrs_c, g_c], axis=1)
+        T = tileK(node_g)
+        G = gather_s(node_g)
+        nh3 = n_his * 3
+        rel_inputs = jnp.concatenate(
+            [T[:, nh3:nh3 + 2], G[:, nh3:nh3 + 2],
+             jnp.abs(T[:, nh3 + 2:] - G[:, nh3 + 2:]),
+             T[:, :nh3] - G[:, :nh3]], axis=-1)
+        relation_encode = mlp3(rel_inputs, re0w, re0b, re1w, re1b, re2w, re2b, True)
+        rel_base = (dot(relation_encode, rp_w1[:]) + rp_b[:]).astype(cd) + rel_bias
+
+        effect = particle_encode
+        for _ in range(cfg.pstep):
+            rs = dot(effect, rp_w23[:]).astype(cd)
+            send = gather_s(rs[:, nf:])
+            masked = jnp.maximum(rel_base + tileK(rs[:, :nf]) + send, 0.0)
+            agg = jnp.sum(masked.reshape(S, K, Np, nf), axis=1,
+                          dtype=f32).reshape(SN, nf)
+            effect = jnp.maximum(
+                part_base + dot(agg.astype(cd), pp_wb[:]).astype(cd) + effect,
+                0.0).astype(cd)
+
+        motion = mlp3(effect, nr0w, nr0b, nr1w, nr1b, nr2w, nr2b, False).astype(f32)
+        pred = last + jnp.clip(motion, -cfg.motion_clamp, cfg.motion_clamp)
+
+        # record each sample's state at its own repeat count; |repeat - ai| is
+        # an exact 0/1 arithmetic select (Mosaic rejects narrow-lane compares)
+        aif = ai.astype(f32)
+        eq1 = jnp.maximum(1.0 - jnp.abs(repeat1 - aif), 0.0)  # (SN, 1) 0/1
+        eq = jnp.broadcast_to(eq1, (SN, 3))
+        rec = rec * (1.0 - eq) + pred * eq
+
+        # eef re-stick: y <- per-sample min over predicted object rows
+        # (forward_dynamics.py:163-168), x/z advance by the action delta
+        ycol = pred[:, 1:2] * obj1 + (1.0 - obj1) * BIGY     # (SN, 1)
+        ys = _stackS(
+            [jnp.zeros((Np, 1), f32) + jnp.min(ycol[s * Np:(s + 1) * Np])
+             for s in range(S)], S) + jnp.float32(gripper_lift)
+        cand = last + action
+        eef_next = jnp.concatenate([cand[:, 0:1], ys, cand[:, 2:3]], axis=1)
+        nxt = pred * (1.0 - eef3) + eef_next * eef3
+        return hs[1:] + (nxt,), rec, ai + 1
+
+    rmax = rmax_ref[0]
+
+    def cond(carry):
+        return carry[2] <= rmax
+
+    hs0 = (state0,) * n_his
+    _, rec, _ = jax.lax.while_loop(
+        cond, lambda c: substep(c), (hs0, state0, jnp.int32(1)))
+    rec_ref[0] = rec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "interpret", "adj_radius",
+                     "edge_topk", "samples_per_block", "max_repeat",
+                     "gripper_lift"),
+)
+def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
+                        cfg: GNNConfig, adj_radius, edge_topk,
+                        max_repeat=15, gripper_lift=0.0,
+                        compute_dtype=jnp.bfloat16, samples_per_block=8,
+                        interpret=False):
+    """Run one MPPI chunk's full substep loop in a single kernel launch.
+
+    Args:
+      obj0: (max_nobj, 3) or (B, max_nobj, 3) f32 object state (all slots
+        valid; 2D is broadcast across samples).
+      kp: (B, max_neef, 3) per-sample eef start keypoints.
+      delta: (B, max_neef, 3) per-substep eef displacement.
+      repeat: (B,) integer substep count per sample.
+      physics_param: (phys_dim,) or (B, phys_dim).
+
+    Returns (B, max_nobj, 3) f32: each sample's object state recorded at its
+    own ``repeat``-th substep. Exactly matches running
+    ``fused_forward_batch(build_edges=True)`` in the per-substep XLA loop
+    (policy "none"; see planning/forward.py dynamics_rollout_batched).
+    """
+    assert _supports(cfg), "config not supported by the fused kernel"
+    N = cfg.n_nodes
+    n_p, n_s = cfg.max_nobj, cfg.max_neef
+    Np = _round_up(N, 8)
+    B = kp.shape[0]
+    K = int(edge_topk)
+
+    S = samples_per_block
+    while B % S:
+        S //= 2
+    nB = B // S
+
+    # state0: obj rows (broadcast if shared), eef rows = kp, pad rows 0
+    if obj0.ndim == 2:
+        obj0 = jnp.broadcast_to(obj0[None], (B, n_p, 3))
+    state0 = jnp.concatenate(
+        [obj0, kp, jnp.zeros((B, Np - N, 3), jnp.float32)], axis=1)
+    action = jnp.concatenate(
+        [jnp.zeros((B, n_p, 3), jnp.float32), delta,
+         jnp.zeros((B, Np - N, 3), jnp.float32)], axis=1)
+    sa = jnp.concatenate([state0, action], axis=-1)  # one (B, Np, 6) input
+    repeat1 = jnp.broadcast_to(
+        repeat.astype(jnp.float32)[:, None, None], (B, Np, 1))
+
+    # packed per-sample constant node inputs [attrs | phys | action]
+    attrs = jnp.zeros((B, Np, 2), jnp.float32)
+    attrs = attrs.at[:, :n_p, 0].set(1.0).at[:, n_p:N, 1].set(1.0)
+    phys = physics_param
+    if phys.ndim == 1:
+        phys = jnp.broadcast_to(phys[None], (B,) + phys.shape)
+    phys_n = jnp.concatenate(
+        [jnp.broadcast_to(phys[:, None, :], (B, n_p, cfg.phys_dim)),
+         jnp.zeros((B, Np - n_p, cfg.phys_dim), jnp.float32)], axis=1)
+    parts = [attrs, phys_n]
+    if cfg.action_dim > 0:
+        parts.append(action)
+    pin = jnp.concatenate(parts, axis=-1).astype(compute_dtype)
+    Dp = pin.shape[-1]
+
+    rmax = jnp.minimum(jnp.max(repeat), max_repeat).astype(jnp.int32)[None]
+
+    def blockS(x):
+        return x.reshape(nB, S * Np, *x.shape[2:])
+
+    ins = [blockS(pin), blockS(sa), blockS(repeat1), rmax]
+
+    def block1(shape):
+        return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    weights = _weight_list(params, cfg, compute_dtype)
+    in_specs = [block1(x.shape[1:]) for x in ins[:3]]
+    in_specs.append(pl.BlockSpec((1,), lambda b: (0,),
+                                 memory_space=pltpu.SMEM))
+    in_specs += [wspec(x) for x in weights]
+
+    edge_build = (K, float(adj_radius), n_p, N)
+    kernel = functools.partial(_rollout_kernel, cfg, compute_dtype, Np, K, S,
+                               edge_build, Dp, max_repeat, float(gripper_lift))
+    rec = pl.pallas_call(
+        kernel,
+        grid=(nB,),
+        in_specs=in_specs,
+        out_specs=block1((S * Np, 3)),
+        out_shape=jax.ShapeDtypeStruct((nB, S * Np, 3), jnp.float32),
+        # the loop-carried history + edge tensors at S=8 need ~17 MB scoped
+        # VMEM; v5e accepts a raised limit (128 MB physical VMEM per core)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins, *weights)
+    return rec.reshape(B, Np, 3)[:, :n_p]

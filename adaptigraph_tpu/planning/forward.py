@@ -174,11 +174,12 @@ def dynamics_rollout(params, state, action_seqs, physics_param, cfg: DynamicsCon
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_fused", "compute_dtype",
-                                              "dynamic_substeps"))
+                                              "dynamic_substeps",
+                                              "fused_substeps"))
 def dynamics_rollout_batched(params, state, action_seqs, physics_param,
                              cfg: DynamicsConfig, use_fused=True,
                              compute_dtype=jnp.bfloat16,
-                             dynamic_substeps=True):
+                             dynamic_substeps=True, fused_substeps=True):
     """Batch-level MPPI forward model; semantics of :func:`dynamics_rollout`
     but with the whole sample batch advanced together per substep, so the
     forward can run through the fused Pallas kernel
@@ -196,7 +197,8 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     a uniform 5..15-repeat budget drops ~30% of the substep work.
     """
     from adaptigraph_tpu.models.gnn import forward_batch
-    from adaptigraph_tpu.ops.fused_gnn import fused_forward_batch
+    from adaptigraph_tpu.ops.fused_gnn import (fused_forward_batch,
+                                               fused_rollout_chunk)
     from adaptigraph_tpu.ops.graph import build_neighbor_graph_batch
 
     gnn, edge = cfg.gnn, cfg.edge
@@ -219,12 +221,34 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     # radius∧topk graph itself, skipping the XLA edge pass entirely
     kernel_edges = use_fused and edge.policy == "none"
     if kernel_edges:
-        # Larger sample blocks amortize weight matmuls over more edge rows
-        # and per-program overhead, but VMEM grows with S*K*Np; ~9000 edge
-        # rows is the empirical v5e scoped-VMEM ceiling for the packed-input
-        # kernel (rope topk=10 -> S=8, granular topk=20 -> S=4).
+        # Larger sample blocks amortize weight matmuls and per-program
+        # overhead; measured on v5e, S=8 is the sweet spot for both rope
+        # (topk 10) and granular (topk 20) — S=16 regresses rope — with the
+        # raised in-kernel VMEM limit covering up to ~18k edge rows.
         Np8 = (gnn.n_nodes + 7) // 8 * 8
-        spb = next((s for s in (8, 4, 2, 1) if s * edge.topk * Np8 <= 9000), 1)
+        spb = next((s for s in (8, 4, 2, 1) if s * edge.topk * Np8 <= 18000), 1)
+
+    if kernel_edges and fused_substeps:
+        # whole-chunk path: each look-ahead step's entire substep loop is ONE
+        # kernel launch (history shift, edge rebuild, forward, eef re-stick
+        # all in VMEM) — no per-substep XLA glue or DMA round trips
+        glift = 0.01 * cfg.sim_real_ratio if cfg.gripper_enable else 0.0
+        obj = jnp.broadcast_to(state[None], (B, max_nobj, 3))
+        outs = []
+        for li in range(L):
+            y = jnp.min(obj[..., 1], axis=1)
+            kp, delta = jax.vmap(
+                lambda d, th, yy: _pusher_keypoints(cfg, d, th, yy)
+            )(decoded[:, li], action_seqs[:, li, 2], y)
+            obj = fused_rollout_chunk(
+                params, obj, kp, delta, repeat[:, li], physics_param, gnn,
+                adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,
+                max_repeat=cfg.max_repeat, gripper_lift=glift,
+                compute_dtype=compute_dtype, samples_per_block=spb)
+            outs.append(obj)
+        return {"state_seqs": jnp.stack(outs, axis=1), "action_seqs": decoded}
+
+    if kernel_edges:
         fwd = lambda g: fused_forward_batch(
             params, g, gnn, compute_dtype=compute_dtype, build_edges=True,
             adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,

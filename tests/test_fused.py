@@ -120,3 +120,88 @@ def test_fused_in_kernel_edge_build():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_mot), np.asarray(want_mot),
                                rtol=2e-4, atol=2e-4)
+
+
+def _chunk_reference(params, state, acts, phys, dcfg):
+    """XLA reference for the whole-chunk kernel: the per-substep batched path."""
+    from adaptigraph_tpu.planning.forward import dynamics_rollout_batched
+
+    return dynamics_rollout_batched(params, state, acts, phys, dcfg,
+                                    use_fused=False, compute_dtype=jnp.float32,
+                                    fused_substeps=False)["state_seqs"]
+
+
+def _chunk_fused(params, state, acts, phys, dcfg, spb):
+    """Drive fused_rollout_chunk the way forward.py's fused-substep path does."""
+    from adaptigraph_tpu.ops.fused_gnn import fused_rollout_chunk
+    from adaptigraph_tpu.planning.actions import decode_action
+    from adaptigraph_tpu.planning.forward import _pusher_keypoints
+
+    B, L = acts.shape[0], acts.shape[1]
+    decoded, repeat = decode_action(acts, dcfg.push_length)
+    glift = 0.01 * dcfg.sim_real_ratio if dcfg.gripper_enable else 0.0
+    obj = jnp.broadcast_to(state[None], (B, dcfg.gnn.max_nobj, 3))
+    outs = []
+    for li in range(L):
+        y = jnp.min(obj[..., 1], axis=1)
+        kp, delta = jax.vmap(
+            lambda d, th, yy: _pusher_keypoints(dcfg, d, th, yy)
+        )(decoded[:, li], acts[:, li, 2], y)
+        obj = fused_rollout_chunk(
+            params, obj, kp, delta, repeat[:, li], phys, dcfg.gnn,
+            adj_radius=float(dcfg.adj_thresh), edge_topk=dcfg.edge.topk,
+            max_repeat=dcfg.max_repeat, gripper_lift=glift,
+            compute_dtype=jnp.float32, samples_per_block=spb, interpret=True)
+        outs.append(obj)
+    return jnp.stack(outs, axis=1)
+
+
+def test_fused_rollout_chunk_matches_substep_path():
+    """The whole-chunk in-kernel rollout must reproduce the per-substep XLA
+    path (policy none, 1-pt pusher, varying integer repeats, 2 look-aheads)."""
+    from adaptigraph_tpu.planning.forward import DynamicsConfig
+
+    cfg = GNNConfig(n_his=4, max_nobj=24, max_neef=1, nf_particle=32,
+                    nf_relation=32, nf_effect=32, pstep=2)
+    ecfg = EdgeConfig(max_nobj=24, max_neef=1, topk=6)
+    dcfg = DynamicsConfig(gnn=cfg, edge=ecfg, n_his=4, push_length=0.1,
+                          sim_real_ratio=10.0, max_repeat=8, adj_thresh=0.6)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    state = jnp.asarray(rng.randn(24, 3).astype(np.float32) * 0.4)
+    B = 8
+    acts = jnp.asarray(np.stack(
+        [rng.uniform(-1, 0, (B, 2)), rng.uniform(-1, 1, (B, 2)),
+         rng.uniform(-np.pi, np.pi, (B, 2)), rng.uniform(2, 8, (B, 2))],
+        axis=-1).astype(np.float32))
+    phys = jnp.asarray([0.5])
+    want = _chunk_reference(params, state, acts, phys, dcfg)
+    got = _chunk_fused(params, state, acts, phys, dcfg, spb=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_rollout_chunk_board_pusher_gripper():
+    """5-point board pusher + gripper lift through the whole-chunk kernel."""
+    from adaptigraph_tpu.planning.forward import DynamicsConfig
+
+    cfg = GNNConfig(n_his=4, max_nobj=24, max_neef=5, nf_particle=32,
+                    nf_relation=32, nf_effect=32, pstep=2)
+    ecfg = EdgeConfig(max_nobj=24, max_neef=5, topk=6)
+    dcfg = DynamicsConfig(gnn=cfg, edge=ecfg, n_his=4, push_length=0.1,
+                          sim_real_ratio=10.0, max_repeat=8, adj_thresh=0.6,
+                          pusher_offsets=(-0.05, -0.025, 0.0, 0.025, 0.05),
+                          gripper_enable=True)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    state = jnp.asarray(rng.randn(24, 3).astype(np.float32) * 0.4)
+    B = 4
+    acts = jnp.asarray(np.stack(
+        [rng.uniform(-1, 0, (B, 1)), rng.uniform(-1, 1, (B, 1)),
+         rng.uniform(-np.pi, np.pi, (B, 1)), rng.uniform(2, 8, (B, 1))],
+        axis=-1).astype(np.float32))
+    phys = jnp.asarray([0.3])
+    want = _chunk_reference(params, state, acts, phys, dcfg)
+    got = _chunk_fused(params, state, acts, phys, dcfg, spb=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
