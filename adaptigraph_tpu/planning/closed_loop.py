@@ -34,7 +34,9 @@ from adaptigraph_tpu.ops.costs import (
 from adaptigraph_tpu.planning.forward import DynamicsConfig
 from adaptigraph_tpu.planning.mppi_solve import MPPIConfig, make_mppi_solver
 from adaptigraph_tpu.planning.physics_optimizer import PhysicsParamOnlineOptimizer
-from adaptigraph_tpu.realworld.perception import PerceptionModule, get_state_cur
+from adaptigraph_tpu.realworld.perception import (EmptyPerceptionError,
+                                                  PerceptionModule,
+                                                  get_state_cur)
 
 PENALTIES = {"rope": rope_penalty, "cloth": cloth_penalty,
              "granular": granular_penalty, "none": None}
@@ -184,7 +186,15 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                 history["phys"].append(np.load(pf)["physics_param"])
     for i in range(start_step, task.n_actions):
         t0 = time.time()
-        state_raw = perceive()
+        try:
+            state_raw = perceive()
+        except EmptyPerceptionError as e:
+            # the object left the workspace (pushed out / below the clipping
+            # height): stop the MPC loop with what we have instead of
+            # crashing — mirrors the data-gen NaN/stuck abort gates
+            if verbose:
+                print(f"step {i}: aborting MPC loop — {e}")
+            break
         state_pad, n_obj = _pad_state(state_raw, max_nobj)
         phys = (jnp.asarray(ppo.physics_param) if ppo is not None
                 else jnp.full((task.dcfg.gnn.phys_dim,), 0.5))

@@ -63,6 +63,10 @@ class PerceptionModule:
         return pts
 
 
+class EmptyPerceptionError(RuntimeError):
+    """Perception returned no object points (object left the workspace)."""
+
+
 def construct_graph(obj_kps, fps_radius, max_nobj=100, max_neef=8,
                     eef_kps=None, rng=None):
     """Raw points -> fixed-size planner state via two-stage FPS
@@ -75,6 +79,14 @@ def construct_graph(obj_kps, fps_radius, max_nobj=100, max_neef=8,
     if eef_kps is None:
         eef_kps = np.zeros((0, 3), np.float32)
     obj_kps = np.asarray(obj_kps, np.float32)
+    if obj_kps.shape[0] == 0:
+        # the object left the workspace crop (pushed out / below the clipping
+        # height): fail with an actionable error instead of a bare
+        # ValueError out of rng.randint (the reference crashes the same way,
+        # perception.py:269)
+        raise EmptyPerceptionError(
+            "perception produced 0 object points — object outside the "
+            "workspace bbox or fully below the clipping height")
     rng = rng or np.random
     start = int(rng.randint(0, obj_kps.shape[0]))
     kps = obj_kps[fps_downsample(obj_kps, max_nobj, fps_radius, start_idx=start)]

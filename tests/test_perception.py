@@ -226,3 +226,16 @@ def test_construct_goal_from_perception():
 
     d, _ = cKDTree(gt).query(goal)
     assert np.percentile(d, 90) < 0.35
+
+
+def test_empty_perception_raises_actionable_error():
+    """0 perceived points (object left the workspace) must raise the typed
+    error, not a bare ValueError from rng.randint."""
+    import numpy as np
+    import pytest
+
+    from adaptigraph_tpu.realworld.perception import (EmptyPerceptionError,
+                                                      construct_graph)
+
+    with pytest.raises(EmptyPerceptionError):
+        construct_graph(np.zeros((0, 3), np.float32), fps_radius=0.2)
