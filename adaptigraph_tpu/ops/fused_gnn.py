@@ -81,7 +81,8 @@ def _stackS(xs, S):
     return jnp.concatenate(xs, axis=0) if S > 1 else xs[0]
 
 
-def _edges_stacked(xs, S, Np, K, edge_build, cd):
+def _edges_stacked(xs, S, Np, K, edge_build, cd, valid_row=None,
+                   valid_col=None):
     """In-kernel radius∧topk edge construction (semantics of
     ops.graph.build_neighbor_graph with policy "none", all object slots
     valid — the MPPI rollout case): K == topk slots per receiver, the
@@ -105,11 +106,15 @@ def _edges_stacked(xs, S, Np, K, edge_build, cd):
     topk, adj_thresh, max_nobj, N_real = edge_build
     iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
     iota_c1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1).astype(f32)
-    valid_c1 = (iota_c1 < N_real).astype(f32)
     tool_r1 = (iota_r1 >= max_nobj).astype(f32) * (iota_r1 < N_real).astype(f32)
     tool_c1 = (iota_c1 >= max_nobj).astype(f32) * (iota_c1 < N_real).astype(f32)
-    pair_ok = _stackS([valid_c1 * (1.0 - tool_r1 * tool_c1)] * S, S)  # (SN, Np)
-    row_valid = _stackS([(iota_r1 < N_real).astype(f32)[:, 0:1]] * S, S)
+    if valid_col is None:
+        valid_col = _stackS([(iota_c1 < N_real).astype(f32)] * S, S)
+    if valid_row is None:
+        valid_row = _stackS([(iota_r1 < N_real).astype(f32)[:, 0:1]] * S, S)
+    # per-sample dynamic validity folds into both sides of the pair test
+    pair_ok = valid_col * _stackS([1.0 - tool_r1 * tool_c1] * S, S)  # (SN, Np)
+    row_valid = valid_row
     iota_c = _stackS([iota_c1] * S, S)
     BIG = jnp.float32(1e10)
     thresh = jnp.float32(adj_thresh * adj_thresh)
@@ -430,8 +435,8 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
 
 
 def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
-                    max_repeat, gripper_lift,
-                    pin_ref, sa_ref, repeat1_ref, rmax_ref,
+                    max_repeat, gripper_lift, mean_y,
+                    pin_ref, sa_ref, repeat1_ref, valid1_ref, rmax_ref,
                     pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
                     re0w, re0b, re1w, re1b, re2w, re2b,
                     rp_w1, rp_w23, rp_b,
@@ -478,8 +483,14 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
                       (iota_r1 < N_real).astype(f32))] * S, S)
     obj1 = obj_w[:, 0:1]                  # (SN, 1) 0/1
     eef3 = eef_w[:, 0:3]                  # (SN, 3) 0/1
-    attrs_c = jnp.concatenate([obj_w[:, 0:1], eef_w[:, 0:1]], axis=1).astype(cd)
-    g_c = obj1.astype(cd)                 # p_instance == 1 for object rows
+    valid = valid1_ref[0]                 # (SN, 1) f32: per-sample validity
+    vobj = valid * obj1                   # valid OBJECT rows
+    attrs_c = jnp.concatenate([vobj, eef_w[:, 0:1]], axis=1).astype(cd)
+    g_c = vobj.astype(cd)                 # p_instance == 1 for valid obj rows
+    # per-sample column validity for the edge build (transpose per block)
+    valid_colm = _stackS(
+        [jnp.broadcast_to(valid[s * Np:(s + 1) * Np].reshape(1, Np), (Np, Np))
+         for s in range(S)], S)
 
     # constant across substeps: particle encoding + its propagator base
     p_inputs = pin_ref[0]                  # (SN, Dp) cd
@@ -494,7 +505,8 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     def substep(carry):
         hs, rec, ai = carry               # hs: tuple of n_his (SN, 3) f32
         last = hs[-1]
-        ohs, rel_bias = _edges_stacked(last, S, Np, K, edge_build, cd)
+        ohs, rel_bias = _edges_stacked(last, S, Np, K, edge_build, cd,
+                                       valid_row=valid, valid_col=valid_colm)
 
         def gather_s(x):
             outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd)
@@ -536,12 +548,21 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
         eq = jnp.broadcast_to(eq1, (SN, 3))
         rec = rec * (1.0 - eq) + pred * eq
 
-        # eef re-stick: y <- per-sample min over predicted object rows
-        # (forward_dynamics.py:163-168), x/z advance by the action delta
-        ycol = pred[:, 1:2] * obj1 + (1.0 - obj1) * BIGY     # (SN, 1)
-        ys = _stackS(
-            [jnp.zeros((Np, 1), f32) + jnp.min(ycol[s * Np:(s + 1) * Np])
-             for s in range(S)], S) + jnp.float32(gripper_lift)
+        # eef re-stick: y <- per-sample min (dynamics) or masked mean
+        # (dynamics_masked) over predicted valid object rows
+        # (forward_dynamics.py:163-168, :359), x/z advance by the delta
+        if mean_y:
+            yv = pred[:, 1:2] * vobj
+            ys = _stackS(
+                [jnp.zeros((Np, 1), f32) +
+                 jnp.sum(yv[s * Np:(s + 1) * Np]) /
+                 jnp.maximum(jnp.sum(vobj[s * Np:(s + 1) * Np]), 1.0)
+                 for s in range(S)], S) + jnp.float32(gripper_lift)
+        else:
+            ycol = pred[:, 1:2] * vobj + (1.0 - vobj) * BIGY     # (SN, 1)
+            ys = _stackS(
+                [jnp.zeros((Np, 1), f32) + jnp.min(ycol[s * Np:(s + 1) * Np])
+                 for s in range(S)], S) + jnp.float32(gripper_lift)
         cand = last + action
         eef_next = jnp.concatenate([cand[:, 0:1], ys, cand[:, 2:3]], axis=1)
         nxt = pred * (1.0 - eef3) + eef_next * eef3
@@ -562,13 +583,13 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "interpret", "adj_radius",
                      "edge_topk", "samples_per_block", "max_repeat",
-                     "gripper_lift"),
+                     "gripper_lift", "mean_y"),
 )
 def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
                         cfg: GNNConfig, adj_radius, edge_topk,
                         max_repeat=15, gripper_lift=0.0,
                         compute_dtype=jnp.bfloat16, samples_per_block=8,
-                        interpret=False):
+                        interpret=False, obj_mask=None, mean_y=False):
     """Run one MPPI chunk's full substep loop in a single kernel launch.
 
     Args:
@@ -578,6 +599,11 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
       delta: (B, max_neef, 3) per-substep eef displacement.
       repeat: (B,) integer substep count per sample.
       physics_param: (phys_dim,) or (B, phys_dim).
+      obj_mask: optional (B, max_nobj) bool per-sample object validity (the
+        dynamics_masked case, reference forward_dynamics.py:209-399); None
+        means every object slot is valid.
+      mean_y: re-stick the eef to the masked MEAN object y instead of the
+        min (dynamics_masked semantics, forward_dynamics.py:359).
 
     Returns (B, max_nobj, 3) f32: each sample's object state recorded at its
     own ``repeat``-th substep. Exactly matches running
@@ -608,9 +634,16 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
     repeat1 = jnp.broadcast_to(
         repeat.astype(jnp.float32)[:, None, None], (B, Np, 1))
 
+    # per-sample validity: object rows from obj_mask, eef rows always valid
+    vobj = (obj_mask.astype(jnp.float32) if obj_mask is not None
+            else jnp.ones((B, n_p), jnp.float32))
+    valid1 = jnp.concatenate(
+        [vobj, jnp.ones((B, n_s), jnp.float32),
+         jnp.zeros((B, Np - N), jnp.float32)], axis=1)[..., None]
+
     # packed per-sample constant node inputs [attrs | phys | action]
     attrs = jnp.zeros((B, Np, 2), jnp.float32)
-    attrs = attrs.at[:, :n_p, 0].set(1.0).at[:, n_p:N, 1].set(1.0)
+    attrs = attrs.at[:, :n_p, 0].set(vobj).at[:, n_p:N, 1].set(1.0)
     phys = physics_param
     if phys.ndim == 1:
         phys = jnp.broadcast_to(phys[None], (B,) + phys.shape)
@@ -628,7 +661,7 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
     def blockS(x):
         return x.reshape(nB, S * Np, *x.shape[2:])
 
-    ins = [blockS(pin), blockS(sa), blockS(repeat1), rmax]
+    ins = [blockS(pin), blockS(sa), blockS(repeat1), blockS(valid1), rmax]
 
     def block1(shape):
         return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
@@ -639,14 +672,15 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
                             memory_space=pltpu.VMEM)
 
     weights = _weight_list(params, cfg, compute_dtype)
-    in_specs = [block1(x.shape[1:]) for x in ins[:3]]
+    in_specs = [block1(x.shape[1:]) for x in ins[:4]]
     in_specs.append(pl.BlockSpec((1,), lambda b: (0,),
                                  memory_space=pltpu.SMEM))
     in_specs += [wspec(x) for x in weights]
 
     edge_build = (K, float(adj_radius), n_p, N)
     kernel = functools.partial(_rollout_kernel, cfg, compute_dtype, Np, K, S,
-                               edge_build, Dp, max_repeat, float(gripper_lift))
+                               edge_build, Dp, max_repeat, float(gripper_lift),
+                               mean_y)
     rec = pl.pallas_call(
         kernel,
         grid=(nB,),

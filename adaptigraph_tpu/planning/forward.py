@@ -322,8 +322,9 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     return {"state_seqs": state_seqs, "action_seqs": decoded}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def dynamics_masked(params, state_init, state_mask, actions, physics_params, cfg: DynamicsConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "use_fused", "interpret"))
+def dynamics_masked(params, state_init, state_mask, actions, physics_params,
+                    cfg: DynamicsConfig, use_fused=False, interpret=False):
     """Per-sample masked variant for physics identification
     (reference: forward_dynamics.py:209-399): each batch element has its own
     point cloud + mask and a single action; physics params may also be
@@ -332,12 +333,31 @@ def dynamics_masked(params, state_init, state_mask, actions, physics_params, cfg
     Args:
       state_init: (B, max_nobj, 3); state_mask: (B, max_nobj) bool.
       actions: (B, 4); physics_params: (B, phys_dim) or (phys_dim,).
+      use_fused: route through the whole-chunk Pallas kernel in masked mode
+        (TPU hot path for the physics optimizer); requires policy "none".
 
     Returns (B, max_nobj, 3) predicted states after each push.
     """
     if physics_params.ndim == 1:
         physics_params = jnp.broadcast_to(physics_params[None], (state_init.shape[0],) + physics_params.shape)
     mcfg = dataclasses.replace(cfg, use_mean_y=True)
+
+    if use_fused and cfg.edge.policy == "none":
+        from adaptigraph_tpu.ops.fused_gnn import fused_rollout_chunk
+
+        decoded, repeat = decode_action(actions[:, None, :], cfg.push_length)
+        m = state_mask.astype(jnp.float32)
+        y0 = jnp.sum(state_init[..., 1] * m, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1), 1.0)
+        kp, delta = jax.vmap(
+            lambda d, th, yy: _pusher_keypoints(mcfg, d, th, yy)
+        )(decoded[:, 0], actions[:, 2], y0)
+        glift = 0.01 * cfg.sim_real_ratio if cfg.gripper_enable else 0.0
+        return fused_rollout_chunk(
+            params, state_init, kp, delta, repeat[:, 0], physics_params,
+            cfg.gnn, adj_radius=float(cfg.adj_thresh), edge_topk=cfg.edge.topk,
+            max_repeat=cfg.max_repeat, gripper_lift=glift,
+            obj_mask=state_mask, mean_y=True, interpret=interpret)
 
     def one(s, m, a, p):
         out = _single_sample_rollout(params, mcfg, s, m, a[None], p)

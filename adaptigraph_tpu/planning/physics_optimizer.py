@@ -44,7 +44,8 @@ PARAM_LO, PARAM_HI = -0.2, 1.2  # reference: physics_param_optimizer.py:63,150
 # batched error evaluation (the device-side core)
 # ---------------------------------------------------------------------------
 
-def dynamics_error_population(params, interactions, candidates, cfg: DynamicsConfig):
+def dynamics_error_population(params, interactions, candidates,
+                              cfg: DynamicsConfig, use_fused=False):
     """Mean masked-Chamfer dynamics error for a population of candidate
     physics params over all recorded interactions
     (reference semantics: physics_param_optimizer.py:178-226).
@@ -71,7 +72,8 @@ def dynamics_error_population(params, interactions, candidates, cfg: DynamicsCon
     # flatten (P, I) -> one dynamics_masked batch
     tile = lambda x: jnp.broadcast_to(x[None], (P,) + x.shape).reshape((P * I,) + x.shape[1:])
     phys = jnp.repeat(cand, I, axis=0)  # (P*I, phys_dim)
-    pred = dynamics_masked(params, tile(s0), tile(m0), tile(act), phys, cfg)
+    pred = dynamics_masked(params, tile(s0), tile(m0), tile(act), phys, cfg,
+                           use_fused=use_fused)
     err = masked_chamfer(pred, tile(sr), tile(m0), tile(mr))  # (P*I,)
     return err.reshape(P, I).mean(axis=1)
 
@@ -268,8 +270,12 @@ class PhysicsParamOnlineOptimizer:
         self.seed = seed
         self.physics_param = np.full(phys_dim, 0.5, np.float32)  # ref :32
         self._interactions = []
+        # the masked whole-chunk Pallas kernel is the TPU hot path; the
+        # vmapped XLA path remains the CPU/test path
+        fused = jax.default_backend() == "tpu" and cfg.edge.policy == "none"
         self._err_fn = jax.jit(
-            lambda p, inter, cand: dynamics_error_population(p, inter, cand, cfg)
+            lambda p, inter, cand: dynamics_error_population(
+                p, inter, cand, cfg, use_fused=fused)
         )
 
     # -- interaction recording ------------------------------------------------

@@ -205,3 +205,39 @@ def test_fused_rollout_chunk_board_pusher_gripper():
     got = _chunk_fused(params, state, acts, phys, dcfg, spb=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_rollout_chunk_masked_matches_dynamics_masked():
+    """Masked mode (per-sample point clouds + mean-y re-sticking + per-sample
+    physics candidates — the physics-optimizer path) must reproduce the
+    vmapped XLA dynamics_masked."""
+    from adaptigraph_tpu.planning.forward import DynamicsConfig, dynamics_masked
+
+    cfg = GNNConfig(n_his=4, max_nobj=24, max_neef=1, nf_particle=32,
+                    nf_relation=32, nf_effect=32, pstep=2)
+    ecfg = EdgeConfig(max_nobj=24, max_neef=1, topk=6)
+    dcfg = DynamicsConfig(gnn=cfg, edge=ecfg, n_his=4, push_length=0.1,
+                          sim_real_ratio=10.0, max_repeat=8, adj_thresh=0.6)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(3)
+    B = 6
+    state = jnp.asarray(rng.randn(B, 24, 3).astype(np.float32) * 0.4)
+    mask = np.zeros((B, 24), bool)
+    for i in range(B):
+        mask[i, : rng.randint(12, 25)] = True
+    state = state * jnp.asarray(mask)[..., None]
+    phys = jnp.asarray(rng.rand(B, 1).astype(np.float32))
+    # single substep: tight parity (the two paths differ only in f32
+    # reduction order, ~5e-4 after one GNN forward)
+    # longer pushes: the per-substep reduction-order noise amplifies through
+    # the autoregressive loop, so the bound loosens with repeat count
+    for length, atol in ((1.0, 2e-3), (4.0, 8e-3), (8.0, 3e-2)):
+        acts = jnp.asarray(np.stack(
+            [rng.uniform(-1, 0, B), rng.uniform(-1, 1, B),
+             rng.uniform(-np.pi, np.pi, B), np.full(B, length)],
+            axis=-1).astype(np.float32))
+        want = dynamics_masked(params, state, jnp.asarray(mask), acts, phys, dcfg)
+        got = dynamics_masked(params, state, jnp.asarray(mask), acts, phys, dcfg,
+                              use_fused=True, interpret=True)
+        w, g, m = np.asarray(want), np.asarray(got), mask[..., None]
+        np.testing.assert_allclose(g * m, w * m, atol=atol)
