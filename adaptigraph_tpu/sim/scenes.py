@@ -58,9 +58,12 @@ def granular_scene(rng):
 
 def cloth_scene(rng):
     sf = rng.uniform(0.0, 1.0)
-    nx = rng.randint(12, 18)
-    nz = rng.randint(12, 18)
-    spacing = rng.uniform(0.07, 0.09)
+    # sized so FPS at the config radius (0.24-0.26) fills the max_nobj=100
+    # node budget like the reference's 70x70 FleX cloth does: extent
+    # ~2.0-3.3 sim units -> ~60-100 kept nodes
+    nx = rng.randint(26, 34)
+    nz = rng.randint(26, 34)
+    spacing = rng.uniform(0.095, 0.115)
     friction = rng.uniform(0.2, 0.6)
     x = -0.5 * nx * spacing + rng.uniform(-0.2, 0.2)
     z = -0.5 * nz * spacing + rng.uniform(-0.2, 0.2)
@@ -76,8 +79,10 @@ def cloth_scene(rng):
 
 def softbody_scene(rng):
     stiffness = rng.uniform(0.0, 1.0)
-    nx, ny, nz = rng.randint(5, 8), rng.randint(4, 6), rng.randint(5, 8)
-    spacing = rng.uniform(0.09, 0.12)
+    # sized so FPS at the config radius (0.20-0.24) approaches the
+    # max_nobj=300 budget (reference CreateSoftBody scale): extent ~2-3 units
+    nx, ny, nz = rng.randint(8, 12), rng.randint(5, 8), rng.randint(8, 12)
+    spacing = rng.uniform(0.22, 0.28)
     cluster_spacing = rng.uniform(2.0, 4.0)
     friction = rng.uniform(0.1, 0.45)
     x = -0.5 * nx * spacing + rng.uniform(-0.2, 0.2)
