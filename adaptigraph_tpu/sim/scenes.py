@@ -36,11 +36,15 @@ def rope_scene(rng):
 
 def granular_scene(rng):
     granular_scale = rng.uniform(0.1, 0.3)
-    distribution_r = rng.uniform(0.5, 0.8)
-    # grain count from fill area (reference: scenes.py:87-138 derives counts
-    # from blob area / scale)
-    num_granular = int((2 * distribution_r / granular_scale) ** 2 * rng.uniform(0.3, 0.7))
-    num_granular = max(9, min(num_granular, 400))
+    # grain count mirrors the reference's area-based grid fill
+    # (scenes.py:87-138: area U(1,9), grain spacing 0.1-0.2 x scale):
+    # per-side count = (side - scale) / (spacing + scale) + 1
+    area = rng.uniform(1.0, 9.0)
+    side = float(np.sqrt(area))
+    granular_dis = rng.uniform(0.1, 0.2) * granular_scale
+    per_side = (side - granular_scale) / (granular_dis + granular_scale) + 1.0
+    num_granular = max(9, min(int(per_side * per_side), 400))
+    distribution_r = side / 2.0
     friction = rng.uniform(0.2, 0.9)
     granular_mass = rng.uniform(0.01, 0.1)
     scene_params = [granular_scale, num_granular, distribution_r, friction, granular_mass]
