@@ -74,11 +74,41 @@ def _supports(cfg: GNNConfig):
         and cfg.rel_attr_dim == 2
         and cfg.rel_group_dim == 1
         and cfg.rel_distance_dim == 3
+        # the kernels hard-code the node_g column layout (2 attr cols, one
+        # group column) — reject configs that would silently misalign it
+        and cfg.attr_dim == 2
+        and cfg.n_instance == 1
     )
 
 
 def _stackS(xs, S):
     return jnp.concatenate(xs, axis=0) if S > 1 else xs[0]
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _mlp3(cd, x, w0, b0, w1, b1, w2, b2, final_relu):
+    x = jnp.maximum(_dot(x, w0[:]) + b0[:], 0.0).astype(cd)
+    x = jnp.maximum(_dot(x, w1[:]) + b1[:], 0.0).astype(cd)
+    x = _dot(x, w2[:]) + b2[:]
+    return (jnp.maximum(x, 0.0) if final_relu else x).astype(cd)
+
+
+def _tileK(x, S, K, Np):
+    """Receiver broadcast (S*Np, F) -> (S*K*Np, F), row order (s, k, i)."""
+    F = x.shape[-1]
+    return jnp.broadcast_to(
+        x.reshape(S, 1, Np, F), (S, K, Np, F)).reshape(S * K * Np, F)
+
+
+def _gather(ohs, x, S, Np, cd):
+    """Sender gather via per-sample one-hot MXU matmuls -> (S*K*Np, F)."""
+    outs = [_dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd) for s in range(S)]
+    return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
 
 
 def _edges_stacked(xs, S, Np, K, edge_build, cd, valid_row=None,
@@ -195,27 +225,14 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     SN = S * Np
     nf = cfg.nf_effect
     nh3 = cfg.n_his * 3
-
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-
-    def mlp3(x, w0, b0, w1, b1, w2, b2, final_relu):
-        x = jnp.maximum(dot(x, w0[:]) + b0[:], 0.0).astype(cd)
-        x = jnp.maximum(dot(x, w1[:]) + b1[:], 0.0).astype(cd)
-        x = dot(x, w2[:]) + b2[:]
-        return (jnp.maximum(x, 0.0) if final_relu else x).astype(cd)
+    dot = _dot
+    mlp3 = functools.partial(_mlp3, cd)
 
     # Node arrays are stacked (S*Np, ·): sample s occupies rows [s*Np, (s+1)*Np).
     # Edge arrays are stacked (S*K*Np, ·): sample s occupies rows
     # [s*KN, (s+1)*KN), inner order (k, i).
-    def tileK(x):  # (S*Np, F') -> (S*K*Np, F') receiver broadcast
-        F = x.shape[-1]
-        return jnp.broadcast_to(
-            x.reshape(S, 1, Np, F), (S, K, Np, F)
-        ).reshape(S * K * Np, F)
+    def tileK(x):
+        return _tileK(x, S, K, Np)
 
     # ---- one-hot sender matrices (per sample: (K*Np, Np)) + edge masks ----
     if "noedge" in _ABLATE and edge_build is not None:
@@ -237,8 +254,7 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     def gather_s(x):  # (S*Np, F') -> (S*K*Np, F')
         if "nogather" in _ABLATE:
             return tileK(x)
-        outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd) for s in range(S)]
-        return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
+        return _gather(ohs, x, S, Np, cd)
 
     # ---- relation features (models/gnn.py:249-283 semantics) ----
     # packed node input columns: [p_inputs (Dp) | state_norm (nh3) | attrs (2) | g (1)]
@@ -434,9 +450,9 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     return pred, None
 
 
-def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
-                    max_repeat, gripper_lift, mean_y,
-                    pin_ref, sa_ref, repeat1_ref, valid1_ref, rmax_ref,
+def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build,
+                    gripper_lift, mean_y, max_repeat,
+                    pin_ref, sa_ref, repeat1_ref, valid1_ref,
                     pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
                     re0w, re0b, re1w, re1b, re2w, re2b,
                     rp_w1, rp_w23, rp_b,
@@ -459,22 +475,11 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
     nf = cfg.nf_effect
     n_his = cfg.n_his
     _, _, max_nobj, N_real = edge_build
-
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-
-    def mlp3(x, w0, b0, w1, b1, w2, b2, final_relu):
-        x = jnp.maximum(dot(x, w0[:]) + b0[:], 0.0).astype(cd)
-        x = jnp.maximum(dot(x, w1[:]) + b1[:], 0.0).astype(cd)
-        x = dot(x, w2[:]) + b2[:]
-        return (jnp.maximum(x, 0.0) if final_relu else x).astype(cd)
+    dot = _dot
+    mlp3 = functools.partial(_mlp3, cd)
 
     def tileK(x):
-        F = x.shape[-1]
-        return jnp.broadcast_to(
-            x.reshape(S, 1, Np, F), (S, K, Np, F)).reshape(S * K * Np, F)
+        return _tileK(x, S, K, Np)
 
     # constant row masks, built wide then lane-sliced (no narrow compares)
     iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0).astype(f32)
@@ -509,9 +514,7 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
                                        valid_row=valid, valid_col=valid_colm)
 
         def gather_s(x):
-            outs = [dot(ohs[s], x[s * Np:(s + 1) * Np]).astype(cd)
-                    for s in range(S)]
-            return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
+            return _gather(ohs, x, S, Np, cd)
 
         sn = jnp.concatenate(
             [hs[i + 1] - hs[i] for i in range(n_his - 1)] + [last], axis=1
@@ -568,7 +571,10 @@ def _rollout_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
         nxt = pred * (1.0 - eef3) + eef_next * eef3
         return hs[1:] + (nxt,), rec, ai + 1
 
-    rmax = rmax_ref[0]
+    # this block's own substep bound (not the batch max): a block of short
+    # pushes stops early — the MPPI solve sorts samples by repeat so blocks
+    # are near-uniform; unsorted physics-optimizer batches benefit the most
+    rmax = jnp.minimum(jnp.max(repeat1), jnp.float32(max_repeat)).astype(jnp.int32)
 
     def cond(carry):
         return carry[2] <= rmax
@@ -611,6 +617,9 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
     (policy "none"; see planning/forward.py dynamics_rollout_batched).
     """
     assert _supports(cfg), "config not supported by the fused kernel"
+    # particle inputs are hoisted out of the substep loop as constants, which
+    # requires state-independent node features
+    assert cfg.state_dim == 0, "fused_rollout_chunk requires state_dim == 0"
     N = cfg.n_nodes
     n_p, n_s = cfg.max_nobj, cfg.max_neef
     Np = _round_up(N, 8)
@@ -654,14 +663,11 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
     if cfg.action_dim > 0:
         parts.append(action)
     pin = jnp.concatenate(parts, axis=-1).astype(compute_dtype)
-    Dp = pin.shape[-1]
-
-    rmax = jnp.minimum(jnp.max(repeat), max_repeat).astype(jnp.int32)[None]
 
     def blockS(x):
         return x.reshape(nB, S * Np, *x.shape[2:])
 
-    ins = [blockS(pin), blockS(sa), blockS(repeat1), blockS(valid1), rmax]
+    ins = [blockS(pin), blockS(sa), blockS(repeat1), blockS(valid1)]
 
     def block1(shape):
         return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
@@ -672,15 +678,13 @@ def fused_rollout_chunk(params, obj0, kp, delta, repeat, physics_param,
                             memory_space=pltpu.VMEM)
 
     weights = _weight_list(params, cfg, compute_dtype)
-    in_specs = [block1(x.shape[1:]) for x in ins[:4]]
-    in_specs.append(pl.BlockSpec((1,), lambda b: (0,),
-                                 memory_space=pltpu.SMEM))
+    in_specs = [block1(x.shape[1:]) for x in ins]
     in_specs += [wspec(x) for x in weights]
 
     edge_build = (K, float(adj_radius), n_p, N)
     kernel = functools.partial(_rollout_kernel, cfg, compute_dtype, Np, K, S,
-                               edge_build, Dp, max_repeat, float(gripper_lift),
-                               mean_y)
+                               edge_build, float(gripper_lift), mean_y,
+                               int(max_repeat))
     rec = pl.pallas_call(
         kernel,
         grid=(nB,),

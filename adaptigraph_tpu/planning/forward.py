@@ -47,9 +47,10 @@ class DynamicsConfig:
     adj_thresh: float = 0.5
     use_mean_y: bool = False  # dynamics_masked uses masked mean-y re-sticking
 
-    @property
-    def n_pusher(self):
-        return max(1, len(self.pusher_offsets)) if self.pusher_offsets else 1
+    def __post_init__(self):
+        # n_his mirrors gnn.n_his (kept as a field for config-dict symmetry
+        # with the reference task_config); they must agree
+        assert self.n_his == self.gnn.n_his, (self.n_his, self.gnn.n_his)
 
 
 def _pusher_keypoints(cfg: DynamicsConfig, decoded, theta, y):
@@ -75,6 +76,14 @@ def _pusher_keypoints(cfg: DynamicsConfig, decoded, theta, y):
     if cfg.gripper_enable:
         kp = kp.at[:, 1].add(0.01 * cfg.sim_real_ratio)  # forward_dynamics.py:80-81
     return kp, jnp.broadcast_to(delta[None], (n_eef, 3))
+
+
+def _spb_for(gnn, edge):
+    """samples-per-block for the fused kernels: S=8 is the measured v5e sweet
+    spot, backed off while the edge-row working set exceeds the raised
+    in-kernel VMEM limit (~18k rows)."""
+    Np8 = (gnn.n_nodes + 7) // 8 * 8
+    return next((s for s in (8, 4, 2, 1) if s * edge.topk * Np8 <= 18000), 1)
 
 
 def _obj_y(cfg, obj, obj_mask):
@@ -221,12 +230,10 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     # radius∧topk graph itself, skipping the XLA edge pass entirely
     kernel_edges = use_fused and edge.policy == "none"
     if kernel_edges:
-        # Larger sample blocks amortize weight matmuls and per-program
-        # overhead; measured on v5e, S=8 is the sweet spot for both rope
-        # (topk 10) and granular (topk 20) — S=16 regresses rope — with the
-        # raised in-kernel VMEM limit covering up to ~18k edge rows.
-        Np8 = (gnn.n_nodes + 7) // 8 * 8
-        spb = next((s for s in (8, 4, 2, 1) if s * edge.topk * Np8 <= 18000), 1)
+        spb = _spb_for(gnn, edge)
+
+    batched_y = (lambda o: jnp.mean(o, axis=1)) if cfg.use_mean_y else (
+        lambda o: jnp.min(o, axis=1))
 
     if kernel_edges and fused_substeps:
         # whole-chunk path: each look-ahead step's entire substep loop is ONE
@@ -236,7 +243,7 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
         obj = jnp.broadcast_to(state[None], (B, max_nobj, 3))
         outs = []
         for li in range(L):
-            y = jnp.min(obj[..., 1], axis=1)
+            y = batched_y(obj[..., 1])
             kp, delta = jax.vmap(
                 lambda d, th, yy: _pusher_keypoints(cfg, d, th, yy)
             )(decoded[:, li], action_seqs[:, li, 2], y)
@@ -244,6 +251,7 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
                 params, obj, kp, delta, repeat[:, li], physics_param, gnn,
                 adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,
                 max_repeat=cfg.max_repeat, gripper_lift=glift,
+                mean_y=cfg.use_mean_y,
                 compute_dtype=compute_dtype, samples_per_block=spb)
             outs.append(obj)
         return {"state_seqs": jnp.stack(outs, axis=1), "action_seqs": decoded}
@@ -263,7 +271,7 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
     obj = jnp.broadcast_to(state[None], (B, max_nobj, 3))
     outs = []
     for li in range(L):
-        y = jnp.min(obj[..., 1], axis=1)  # (B,) all-valid min-y
+        y = batched_y(obj[..., 1])  # (B,) all-valid min-y (or mean-y)
         kp, delta = jax.vmap(
             lambda d, th, yy: _pusher_keypoints(cfg, d, th, yy)
         )(decoded[:, li], action_seqs[:, li, 2], y)
@@ -290,7 +298,7 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
                 graph["nbr_mask"] = mask
             pred, _ = fwd(graph)
             recorded = jnp.where((repeat[:, li] == ai)[:, None, None], pred, recorded)
-            y_cur = jnp.min(pred[..., 1], axis=1)
+            y_cur = batched_y(pred[..., 1])
             y_cur = y_cur + (0.01 * cfg.sim_real_ratio if cfg.gripper_enable else 0.0)
             eef_cur = hist[:, -1, max_nobj:] + action[:, max_nobj:]
             eef_cur = eef_cur.at[..., 1].set(y_cur[:, None])
@@ -357,7 +365,8 @@ def dynamics_masked(params, state_init, state_mask, actions, physics_params,
             params, state_init, kp, delta, repeat[:, 0], physics_params,
             cfg.gnn, adj_radius=float(cfg.adj_thresh), edge_topk=cfg.edge.topk,
             max_repeat=cfg.max_repeat, gripper_lift=glift,
-            obj_mask=state_mask, mean_y=True, interpret=interpret)
+            obj_mask=state_mask, mean_y=True, interpret=interpret,
+            samples_per_block=_spb_for(cfg.gnn, cfg.edge))
 
     def one(s, m, a, p):
         out = _single_sample_rollout(params, mcfg, s, m, a[None], p)
