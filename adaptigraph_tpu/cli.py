@@ -74,6 +74,14 @@ def _task_objects(task):
 
     config = task["_dynamics_config"]
     spec, gnn_cfg, edge_cfg, _ = _dyn_objects(config)
+    if edge_cfg.policy == "tools_all":
+        # planning uses the reference's BATCHED tools_all semantics, which
+        # gate the tool connections per sample on radius∧topk contact
+        # (reference: graph.py:276-286); the ungated single version is the
+        # training-data path (graph.py:119-123)
+        import dataclasses as _dc
+
+        edge_cfg = _dc.replace(edge_cfg, gate_on_contact=True)
     dcfg = DynamicsConfig(
         gnn=gnn_cfg, edge=edge_cfg, n_his=task.get("n_his", spec.n_his),
         push_length=task.get("push_length", 0.1),
