@@ -259,7 +259,7 @@ def cmd_rollout(args):
     params = load_checkpoint(out_dir, epoch=args.epoch)
     roll_dir = os.path.join(out_dir, "rollout")
     stats = rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir,
-                            out_dir=roll_dir)
+                            out_dir=roll_dir, keep_prev_fps=args.keep_prev_fps)
     med = stats["median"]
     if len(med):
         from adaptigraph_tpu.utils.viz import plot_error_curves
@@ -457,6 +457,9 @@ def main(argv=None):
     r.add_argument("--prep_dir")
     r.add_argument("--out_dir")
     r.add_argument("--epoch", type=int)
+    r.add_argument("--keep_prev_fps", action="store_true",
+                   help="reuse the first push's FPS indices for all pushes "
+                        "in an episode (reference: rollout.py --keep_prev_fps)")
     r.set_defaults(fn=cmd_rollout)
 
     pl = sub.add_parser("plan", help="closed-loop MPC on the sim-backed env")

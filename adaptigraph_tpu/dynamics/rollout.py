@@ -42,15 +42,20 @@ def frame_chain(eef_kp, start, dist_thresh, max_steps):
     return np.asarray(chain, np.int64)
 
 
-def build_start_state(spec, obj_pos, eef_pos, chain, rng=None):
+def build_start_state(spec, obj_pos, eef_pos, chain, rng=None, fps_idx=None):
     """Deterministic start graph inputs (reference: rollout/graph.py:342-650
-    with midpoint radii). Returns (state_history, fps_idx, masks...)."""
+    with midpoint radii). Returns (state_history, fps_idx, masks...).
+
+    ``fps_idx``: reuse a previous push's FPS indices instead of re-sampling
+    (reference: rollout.py:335-338 ``keep_prev_fps`` / ``prev_fps_idx_list``).
+    """
     n_his = spec.n_his
     N = spec.n_nodes
     fps_radius = float(np.mean(spec.fps_radius_range))
     start = chain[0]
-    fps_idx = fps_downsample(obj_pos[start], spec.max_nobj, fps_radius, start_idx=0,
-                             rng=rng or np.random.RandomState(0))
+    if fps_idx is None:
+        fps_idx = fps_downsample(obj_pos[start], spec.max_nobj, fps_radius, start_idx=0,
+                                 rng=rng or np.random.RandomState(0))
     n_obj = len(fps_idx)
 
     state_history = np.zeros((n_his, N, 3), np.float32)
@@ -131,12 +136,16 @@ def rollout_scan(
 
 
 def rollout_episode(params, spec, gnn_cfg, edge_cfg, obj_pos, eef_pos, physics_param,
-                    start=0, dist_thresh=0.1, max_steps=100):
-    """Evaluate one episode push: returns (errors (T,), preds, chain)."""
+                    start=0, dist_thresh=0.1, max_steps=100, fps_idx=None):
+    """Evaluate one episode push: returns (errors (T,), preds, chain, fps_idx).
+
+    ``fps_idx``: keep a previous push's FPS sample instead of re-sampling at
+    this push's start frame (reference: rollout.py --keep_prev_fps)."""
     chain = frame_chain(eef_pos, start, dist_thresh, max_steps)
     if len(chain) < 2:
-        return np.zeros(0), np.zeros((0, spec.max_nobj, 3)), chain
-    hist, fps_idx, state_mask, eef_mask, n_obj = build_start_state(spec, obj_pos, eef_pos, chain)
+        return np.zeros(0), np.zeros((0, spec.max_nobj, 3)), chain, fps_idx
+    hist, fps_idx, state_mask, eef_mask, n_obj = build_start_state(
+        spec, obj_pos, eef_pos, chain, fps_idx=fps_idx)
 
     T = len(chain) - 1
     # bucket T to the next power of two so rollout_scan compiles once per
@@ -177,14 +186,18 @@ def rollout_episode(params, spec, gnn_cfg, edge_cfg, obj_pos, eef_pos, physics_p
         gnn_cfg,
         edge_cfg,
     )
-    return np.asarray(errors)[:T], np.asarray(preds)[:T], chain
+    return np.asarray(errors)[:T], np.asarray(preds)[:T], chain, fps_idx
 
 
 def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98, 1.0),
-                    dist_thresh=0.1, max_steps=100, out_dir=None, save_video=True):
+                    dist_thresh=0.1, max_steps=100, out_dir=None, save_video=True,
+                    keep_prev_fps=False):
     """Evaluate all validation episodes; per-push error curves + aggregate
     median/IQR (reference: rollout.py:373-467), plus a pred|gt|both video of
     the first episode (reference: rollout/graph.py:59-339 visualize_graph).
+
+    ``keep_prev_fps``: within an episode, reuse the first push's FPS indices
+    for every later push (reference: rollout.py:335-338 --keep_prev_fps).
     Returns dict of stats."""
     import os
 
@@ -200,20 +213,24 @@ def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98
         per_push = "push_bounds" in epi and len(epi["push_bounds"]) > 2
         if per_push:
             pb = epi["push_bounds"]
+            epi_fps = None  # first push's FPS indices, reused if keep_prev_fps
             for p in range(len(pb) - 1):
                 b0, b1 = int(pb[p]), int(pb[p + 1])
                 if b1 - b0 < 4:
                     continue
-                errs_p, _, _ = rollout_episode(
+                errs_p, _, _, used_fps = rollout_episode(
                     params, spec, gnn_cfg, edge_cfg, epi["obj_pos"][b0:b1],
                     epi["eef_pos"][b0:b1], ds.physics_norm[ei], start=0,
                     dist_thresh=dist_thresh, max_steps=max_steps,
+                    fps_idx=epi_fps,
                 )
+                if keep_prev_fps and epi_fps is None:
+                    epi_fps = used_fps
                 if len(errs_p):
                     all_errors.append(errs_p)
         if per_push and not (ei == 0 and out_dir and save_video):
             continue  # per-push errors already recorded; video needs ep 0 only
-        errors, preds, chain = rollout_episode(
+        errors, preds, chain, _ = rollout_episode(
             params, spec, gnn_cfg, edge_cfg, epi["obj_pos"], epi["eef_pos"],
             ds.physics_norm[ei], start=0, dist_thresh=dist_thresh, max_steps=max_steps,
         )

@@ -47,7 +47,7 @@ def test_rollout_episode_mechanics(prep_dir):
     ds = DynDataset(prep_dir, SPEC, phase="valid", ratio={"train": [0, 0], "valid": [0, 1]})
     epi = ds._episode(0)
     params = init_params(jax.random.PRNGKey(0), GNN)
-    errors, preds, chain = rollout_episode(
+    errors, preds, chain, fps_idx = rollout_episode(
         params, SPEC, GNN, ECFG, epi["obj_pos"], epi["eef_pos"], ds.physics_norm[0],
         start=0, dist_thresh=0.1, max_steps=10,
     )
@@ -55,6 +55,17 @@ def test_rollout_episode_mechanics(prep_dir):
     assert errors.shape == (len(chain) - 1,)
     assert np.isfinite(errors).all()
     assert preds.shape == (len(chain) - 1, 40, 3)
+
+    # keep_prev_fps semantics (reference: rollout.py:335-338): forcing a
+    # previous push's FPS indices changes which particles are evaluated
+    # but the pipeline stays finite and the indices are honored verbatim
+    forced = fps_idx[: max(2, len(fps_idx) // 2)]
+    errors2, _, _, used = rollout_episode(
+        params, SPEC, GNN, ECFG, epi["obj_pos"], epi["eef_pos"], ds.physics_norm[0],
+        start=0, dist_thresh=0.1, max_steps=10, fps_idx=forced,
+    )
+    assert np.array_equal(used, forced)
+    assert np.isfinite(errors2).all()
 
 
 def test_rollout_dataset_stats(prep_dir):
