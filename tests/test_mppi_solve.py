@@ -1,5 +1,7 @@
 """Fused MPPI solver tests, incl. multi-device shard_map consistency."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -81,3 +83,53 @@ def test_sharded_solve_matches_single(setup):
     r8 = solve8(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
     np.testing.assert_allclose(r1["best_reward"], r8["best_reward"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1["act_seq"]), np.asarray(r8["act_seq"]), rtol=1e-4, atol=1e-5)
+
+
+def test_multi_material_joint_eval_submeshes(setup):
+    """Multi-material joint eval across a pod slice (BASELINE.md eval
+    config #5): two materials' MPPI solves — rope-style stick pusher and a
+    granular-style 5-point board — run on DISJOINT 4-device submeshes of the
+    8-device mesh, dispatched together (async) and each bit-identical to its
+    own single-device solve. This is the TPU-native replacement for the
+    reference's one-GPU-per-material sequential evaluation."""
+    from jax.sharding import Mesh
+
+    params, state, target = setup
+    devs = jax.devices()
+    mesh_a = Mesh(np.array(devs[:4]), ("data",))
+    mesh_b = Mesh(np.array(devs[4:8]), ("data",))
+
+    mcfg = MPPIConfig(n_sample=32, n_sample_chunk=4, n_look_ahead=1,
+                      n_update_iter=1, reward_weight=50.0, noise_level=0.5)
+    board = DynamicsConfig(
+        gnn=GNN, edge=EdgeConfig(max_nobj=20, max_neef=5, topk=5), n_his=4,
+        max_repeat=4, adj_thresh=0.5,
+        pusher_offsets=(-0.02, -0.01, 0.0, 0.01, 0.02),
+    )
+    gnn_b = GNNConfig(n_his=4, max_nobj=20, max_neef=5, nf_particle=16,
+                      nf_relation=16, nf_effect=16, pstep=2)
+    board = dataclasses.replace(board, gnn=gnn_b)
+    params_b = init_params(jax.random.PRNGKey(7), gnn_b)
+
+    solve_rope = make_mppi_solver(DCFG, mcfg, make_reward(target), LOWER, UPPER,
+                                  mesh=mesh_a)
+    solve_gran = make_mppi_solver(board, mcfg, make_reward(target), LOWER, UPPER,
+                                  mesh=mesh_b)
+    act0 = jnp.zeros((1, 4)).at[0, 3].set(3.0)
+
+    # dispatch both materials; jax async dispatch overlaps the two slices
+    ra = solve_rope(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
+    rb = solve_gran(params_b, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.3]))
+    jax.block_until_ready((ra["best_reward"], rb["best_reward"]))
+
+    # each submesh result matches its material's single-device solve
+    s1a = make_mppi_solver(DCFG, mcfg, make_reward(target), LOWER, UPPER)
+    s1b = make_mppi_solver(board, mcfg, make_reward(target), LOWER, UPPER)
+    ea = s1a(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
+    eb = s1b(params_b, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.3]))
+    np.testing.assert_allclose(ra["best_reward"], ea["best_reward"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(rb["best_reward"], eb["best_reward"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ra["act_seq"]), np.asarray(ea["act_seq"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb["act_seq"]), np.asarray(eb["act_seq"]),
+                               rtol=1e-4, atol=1e-5)
