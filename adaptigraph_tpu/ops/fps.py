@@ -19,6 +19,43 @@ import jax
 import jax.numpy as jnp
 
 
+# points below this count get a precomputed pairwise squared-distance matrix
+# (n=2048 -> 16 MB f32); above it per-pick BLAS matvec updates are used.
+# Both paths compare SQUARED distances — sqrt is monotone, so argmax picks
+# and radius cuts are identical to the norm-based reference loop.
+_DENSE_N = 2048
+
+
+def _sq_dist_matrix(pcd):
+    pcd = np.asarray(pcd, np.float64)
+    sq = np.einsum("ij,ij->i", pcd, pcd)
+    D = sq[:, None] + sq[None, :] - 2.0 * (pcd @ pcd.T)
+    np.maximum(D, 0.0, out=D)
+    return D
+
+
+class _SqDist:
+    """Row provider for squared distances: dense matrix when small,
+    on-demand BLAS matvec when large."""
+
+    def __init__(self, pcd):
+        self.pcd = np.asarray(pcd, np.float64)
+        self.n = self.pcd.shape[0]
+        if self.n <= _DENSE_N:
+            self.D = _sq_dist_matrix(self.pcd)
+            self.sq = None
+        else:
+            self.D = None
+            self.sq = np.einsum("ij,ij->i", self.pcd, self.pcd)
+
+    def row(self, i):
+        if self.D is not None:
+            return self.D[i]
+        d = self.sq + self.sq[i] - 2.0 * (self.pcd @ self.pcd[i])
+        np.maximum(d, 0.0, out=d)
+        return d
+
+
 def fps_numpy(pcd, num, start_idx=None, rng=None):
     """Greedy farthest-point sampling of ``num`` indices from ``pcd (n, d)``.
 
@@ -29,13 +66,14 @@ def fps_numpy(pcd, num, start_idx=None, rng=None):
     if start_idx is None:
         rng = rng or np.random
         start_idx = int(rng.randint(0, n)) if hasattr(rng, "randint") else int(rng.integers(0, n))
+    sd = _SqDist(pcd)
     idxs = np.empty(num, dtype=np.int64)
     idxs[0] = start_idx
-    dist = np.linalg.norm(pcd - pcd[start_idx], axis=1)
+    dist = sd.row(start_idx).copy()
     for i in range(1, num):
         nxt = int(dist.argmax())
         idxs[i] = nxt
-        dist = np.minimum(dist, np.linalg.norm(pcd - pcd[nxt], axis=1))
+        np.minimum(dist, sd.row(nxt), out=dist)
     return idxs
 
 
@@ -45,34 +83,53 @@ def fps_rad_numpy(pcd, radius, rng=None):
     n = pcd.shape[0]
     rng = rng or np.random
     start = int(rng.randint(0, n)) if hasattr(rng, "randint") else int(rng.integers(0, n))
+    return _fps_rad(_SqDist(pcd), radius, start)
+
+
+def _fps_rad(sd, radius, start):
+    r2 = float(radius) * float(radius)
     idxs = [start]
-    dist = np.linalg.norm(pcd - pcd[start], axis=1)
-    while dist.max() > radius:
+    dist = sd.row(start).copy()
+    while dist.max() > r2:
         nxt = int(dist.argmax())
         idxs.append(nxt)
-        dist = np.minimum(dist, np.linalg.norm(pcd - pcd[nxt], axis=1))
+        np.minimum(dist, sd.row(nxt), out=dist)
     return np.asarray(idxs, dtype=np.int64)
 
 
 def fps_downsample(pcd, max_num, radius, rng=None, start_idx=None):
     """The reference's two-stage downsample (graph.py:8-36): FPS to
     ``max_num`` points, then radius-dedup the result. Returns indices into
-    ``pcd``."""
+    ``pcd``.
+
+    When ``max_num >= n`` stage 1 selects every point, and FPS is
+    prefix-closed (greedy FPS over its own selection from the same start
+    reproduces the pick order), so stage 2 just truncates the sequence at
+    the radius cut — one loop with an early stop is exactly equivalent and
+    skips the picks the dedup would discard."""
+    n = np.asarray(pcd).shape[0]
+    if max_num >= n:
+        if start_idx is None:
+            rng = rng or np.random
+            start_idx = (int(rng.randint(0, n)) if hasattr(rng, "randint")
+                         else int(rng.integers(0, n)))
+        sd = _SqDist(pcd)
+        r2 = float(radius) * float(radius)
+        idxs = [start_idx]
+        dist = sd.row(start_idx).copy()
+        while len(idxs) < n and dist.max() > r2:
+            nxt = int(dist.argmax())
+            idxs.append(nxt)
+            np.minimum(dist, sd.row(nxt), out=dist)
+        return np.asarray(idxs, dtype=np.int64)
     idx1 = fps_numpy(pcd, max_num, start_idx=start_idx, rng=rng)
-    down = pcd[idx1]
     # deterministic start for stage 2 to keep the first FPS point first
-    idx2 = fps_rad_numpy_from(down, radius, start=0)
+    idx2 = fps_rad_numpy_from(np.asarray(pcd)[idx1], radius, start=0)
     return idx1[idx2]
 
 
 def fps_rad_numpy_from(pcd, radius, start=0):
-    idxs = [start]
-    dist = np.linalg.norm(pcd - pcd[start], axis=1)
-    while dist.max() > radius:
-        nxt = int(dist.argmax())
-        idxs.append(nxt)
-        dist = np.minimum(dist, np.linalg.norm(pcd - pcd[nxt], axis=1))
-    return np.asarray(idxs, dtype=np.int64)
+    return _fps_rad(_SqDist(pcd), radius, start)
 
 
 @functools.partial(jax.jit, static_argnames=("num",))

@@ -53,3 +53,18 @@ def test_fps_jax_masked(rng):
     idxs, valid = np.asarray(idxs), np.asarray(valid)
     assert valid[:8].all() and not valid[8:].any()
     assert (idxs[valid] < 8).all()
+
+
+def test_downsample_early_stop_matches_two_stage():
+    """The fused max_num>=n early-stop path must match the explicit
+    two-stage (full FPS then radius dedup) exactly, tie-breaks included."""
+    from adaptigraph_tpu.ops.fps import fps_numpy, fps_rad_numpy_from
+
+    rng = np.random.RandomState(11)
+    for n in (5, 37, 96):
+        for radius in (0.05, 0.2, 0.7):
+            pcd = rng.rand(n, 3)
+            got = fps_downsample(pcd, 100, radius, start_idx=3)
+            idx1 = fps_numpy(pcd, 100, start_idx=3)
+            idx2 = fps_rad_numpy_from(pcd[idx1], radius, start=0)
+            np.testing.assert_array_equal(got, idx1[idx2])
