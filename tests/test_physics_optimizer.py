@@ -118,3 +118,39 @@ def test_interaction_roundtrip(tmp_path, model_params):
     assert len(opt2._interactions) == 2
     np.testing.assert_allclose(opt.evaluate([[0.7]]), opt2.evaluate([[0.7]]),
                                rtol=1e-5)
+
+
+def test_online_recovery_multid_cma():
+    """Multi-dimensional physics params route through CMA-ES
+    (reference: physics_param_optimizer.py:150-154 uses CMA for phys_dim>1;
+    BASELINE.md eval #4 'CMA-ES adaptation'): recorded interactions at a
+    2-D true parameter, estimate starts at (0.5, 0.5) and improves toward it."""
+    gnn2 = GNNConfig(n_his=2, max_nobj=20, max_neef=1, nf_particle=32,
+                     nf_relation=32, nf_effect=32, pstep=2, phys_dim=2)
+    dcfg2 = DynamicsConfig(gnn=gnn2, edge=EdgeConfig(max_nobj=20, max_neef=1, topk=5),
+                           n_his=2, push_length=0.1, max_repeat=3, adj_thresh=0.8)
+    params = init_params(jax.random.PRNGKey(5), gnn2)
+    p_true = np.array([0.3, 0.7], np.float32)
+
+    rng = np.random.RandomState(2)
+    opt = PhysicsParamOnlineOptimizer(dcfg2, params, phys_dim=2)
+    for i in range(4):
+        n = rng.randint(12, 20)
+        t = np.linspace(0, 1.5, n)
+        pts = np.stack([t - 1.0, 0.05 * np.ones(n), 0.2 * np.sin(3 * t + i)], 1)
+        state = (pts + rng.randn(n, 3) * 0.01).astype(np.float32)
+        act = np.array([state[0, 0] - 0.3, state[0, 2], 0.0, 2.0], np.float32)
+        s_pad = np.zeros((gnn2.max_nobj, 3), np.float32)
+        s_pad[:n] = state
+        m = np.zeros(gnn2.max_nobj, bool)
+        m[:n] = True
+        real = dynamics_masked(params, s_pad[None], m[None], act[None],
+                               p_true[None], dcfg2)[0]
+        opt.add_interaction(act, state, np.asarray(real)[:n], np.asarray(real)[:n])
+
+    est, err, err_init = opt.optimize(iterations=60)
+    assert est.shape == (2,)
+    assert err <= err_init
+    # exact model at p_true -> error there is ~0; CMA must land close
+    err_true = float(opt.evaluate(p_true[None])[0])
+    assert err <= err_true + 2e-3
