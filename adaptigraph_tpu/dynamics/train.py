@@ -101,7 +101,8 @@ def _splice_history(state_hist, next_state, store_rest_state):
     return jnp.concatenate([state_hist[:, 1:], next_state[:, None]], axis=1)
 
 
-def multi_step_loss(params, batch, gnn_cfg: GNNConfig, edge_cfg: EdgeConfig, n_future, store_rest_state):
+def multi_step_loss(params, batch, gnn_cfg: GNNConfig, edge_cfg: EdgeConfig, n_future,
+                    store_rest_state, fused_fn=None):
     """Sum of per-step MSE over ``n_future`` autoregressive predictions
     (reference: train.py:94-124). Edges are built once from the current
     (possibly augmented) state and reused, matching the reference.
@@ -109,7 +110,12 @@ def multi_step_loss(params, batch, gnn_cfg: GNNConfig, edge_cfg: EdgeConfig, n_f
     The future loop is UNROLLED (n_future is a static 3-5): a ``lax.scan``
     here forces XLA to spill the (B, n_his, N, 3) carry and blocks fusion
     across steps — measured 19.4 -> 14.5 ms per batch-128 train step on
-    TPU v5e (steady state) from this unroll alone."""
+    TPU v5e (steady state) from this unroll alone.
+
+    ``fused_fn``: the differentiable fused forward
+    (``ops.fused_gnn_train.make_fused_train_forward``) — replaces the XLA
+    forward on TPU; its custom VJP keeps every edge-sized tensor in VMEM in
+    both directions."""
     state = batch["state"]
 
     build = jax.vmap(
@@ -126,16 +132,21 @@ def multi_step_loss(params, batch, gnn_cfg: GNNConfig, edge_cfg: EdgeConfig, n_f
     state_hist, action = state, batch["action"]
     total = 0.0
     for fi in range(n_future):
-        graph = {
-            "state": state_hist,
-            "attrs": batch["attrs"],
-            "neighbors": nbrs,
-            "nbr_mask": nbr_mask,
-            "action": action,
-            "p_instance": batch["p_instance"],
-            "physics_param": batch["physics_param"],
-        }
-        pred_pos, _ = fwd(graph)  # (B, max_nobj, 3)
+        if fused_fn is not None:
+            pred_pos = fused_fn(params, state_hist, action,
+                                batch["physics_param"], batch["attrs"],
+                                batch["p_instance"], nbrs, nbr_mask)
+        else:
+            graph = {
+                "state": state_hist,
+                "attrs": batch["attrs"],
+                "neighbors": nbrs,
+                "nbr_mask": nbr_mask,
+                "action": action,
+                "p_instance": batch["p_instance"],
+                "physics_param": batch["physics_param"],
+            }
+            pred_pos, _ = fwd(graph)  # (B, max_nobj, 3)
         total = total + jnp.mean((pred_pos - batch["state_future"][:, fi]) ** 2)
         if fi < n_future - 1:
             next_state = batch["eef_future"][:, fi].at[:, :max_nobj].set(pred_pos)
@@ -144,14 +155,35 @@ def multi_step_loss(params, batch, gnn_cfg: GNNConfig, edge_cfg: EdgeConfig, n_f
     return total
 
 
-def make_train_step(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer):
+def fused_train_fn(gnn_cfg, edge_cfg, compute_dtype=None):
+    """The differentiable fused forward for this config, or None when the
+    config/backend doesn't support it (non-TPU backend, unsupported feature
+    dims, multi-chip jit-sharding — Pallas calls don't auto-partition)."""
+    if jax.default_backend() != "tpu":
+        return None
+    from adaptigraph_tpu.ops.fused_gnn import _supports
+
+    if not (_supports(gnn_cfg) and gnn_cfg.state_dim == 0):
+        return None
+    from adaptigraph_tpu.ops.fused_gnn_train import make_fused_train_forward
+
+    # f32 by default: measured on v5e the kernel is VMEM-traffic-bound, so
+    # f32 runs at bf16 speed (7.3 vs 7.2 ms/step at the rope budget) while
+    # matching the XLA f32 path's numerics (grad parity ~3e-6)
+    kw = {"compute_dtype": compute_dtype or jnp.float32}
+    return make_fused_train_forward(
+        gnn_cfg, k_used=edge_cfg.topk + edge_cfg.max_neef, **kw)
+
+
+def make_train_step(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer, fused_fn=None):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, key):
         def loss_fn(p):
             b = _augment(
                 batch, key, hyper.state_noise_train, hyper.phys_noise_train, hyper.use_augmentation
             ) if hyper.use_augmentation else batch
-            return multi_step_loss(p, b, gnn_cfg, edge_cfg, hyper.n_future, hyper.store_rest_state)
+            return multi_step_loss(p, b, gnn_cfg, edge_cfg, hyper.n_future,
+                                   hyper.store_rest_state, fused_fn=fused_fn)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -219,12 +251,13 @@ class DevicePrefetcher:
             pass
 
 
-def make_eval_step(gnn_cfg, edge_cfg, hyper: TrainHyper):
+def make_eval_step(gnn_cfg, edge_cfg, hyper: TrainHyper, fused_fn=None):
     @jax.jit
     def eval_step(params, batch, key):
         b = _augment(batch, key, hyper.state_noise_valid, hyper.phys_noise_valid,
                      hyper.use_augmentation) if hyper.use_augmentation else batch
-        return multi_step_loss(params, b, gnn_cfg, edge_cfg, hyper.n_future, hyper.store_rest_state)
+        return multi_step_loss(params, b, gnn_cfg, edge_cfg, hyper.n_future,
+                               hyper.store_rest_state, fused_fn=fused_fn)
 
     return eval_step
 
@@ -271,8 +304,13 @@ def train(
                     jax.tree_util.tree_leaves(restored))
             print(f"resumed from {lp}")
 
-    train_step = make_train_step(gnn_cfg, edge_cfg, hyper, optimizer)
-    eval_step = make_eval_step(gnn_cfg, edge_cfg, hyper)
+    # the fused differentiable kernel runs single-device; multi-chip sharded
+    # training keeps the XLA path (Pallas calls don't partition under jit)
+    fused = fused_train_fn(gnn_cfg, edge_cfg) if mesh is None else None
+    if fused is not None:
+        print("train: using the fused Pallas forward/backward kernel")
+    train_step = make_train_step(gnn_cfg, edge_cfg, hyper, optimizer, fused_fn=fused)
+    eval_step = make_eval_step(gnn_cfg, edge_cfg, hyper, fused_fn=fused)
 
     if mesh is not None:
         from adaptigraph_tpu.parallel.mesh import shard_batch, replicate

@@ -442,6 +442,10 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        # f32 compute at S=8 needs ~24 MB scoped VMEM (bf16 fits the 16 MB
+        # default); raise the limit like the rollout kernel does
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins, *weights)
     pred = outs[0].reshape(B, Np, 3)[:, :n_p]

@@ -1,0 +1,513 @@
+"""Differentiable fused GNN forward for TRAINING (custom VJP + Pallas bwd).
+
+The training step's cost is the XLA forward+backward over edge-sized
+``(B, N, K, F)`` HBM tensors (reference semantics: the ``pstep`` bmm chain of
+``src/dynamics/gnn/model.py:307-332`` differentiated by autograd). The fused
+forward kernel (``ops/fused_gnn.py``) keeps all edge tensors in VMEM but is
+inference-only. This module makes it trainable:
+
+- ``make_fused_train_forward(cfg, ...)`` returns ``f(params, state, action,
+  physics, attrs, p_instance, neighbors, nbr_mask) -> pred`` wrapped in
+  ``jax.custom_vjp``.
+- forward = ``fused_forward_batch`` (prebuilt edges, the training case —
+  edges are built once per batch from the pre-rollout state,
+  ``dynamics/train.py multi_step_loss``).
+- backward = ONE Pallas kernel per S-sample block that RECOMPUTES the
+  forward in VMEM (flash-attention style — nothing edge-sized ever hits
+  HBM) and emits input cotangents + parameter gradients. Parameter grads
+  accumulate across the sequential TPU grid into shared output blocks.
+- cotangents are exact for (params, state, action, physics, attrs,
+  p_instance); integer/bool inputs (neighbors, mask) get symbolic zeros.
+  The motion-clip derivative is applied OUTSIDE the kernel from the saved
+  raw motion, so the kernel needs no narrow-lane compares.
+
+Supported configs: the fused-kernel family (``fused_gnn._supports``) with
+``state_dim == 0`` — every shipped material. Parity of values and grads vs
+``jax.grad`` of the XLA path is tested in tests/test_fused_train.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adaptigraph_tpu.models.gnn import GNNConfig
+from adaptigraph_tpu.ops.fused_gnn import (
+    _dot,
+    _gather,
+    _round_up,
+    _stackS,
+    _supports,
+    _tileK,
+    _weight_list,
+    fused_forward_batch,
+)
+
+
+def _rowsum(x):
+    """(R, F) -> (1, F) f32 row reduction."""
+    return jnp.sum(x, axis=0, keepdims=True, dtype=jnp.float32)
+
+
+def _dTt(a, b):
+    """a^T @ b with f32 accumulation: (R, Fa), (R, Fb) -> (Fa, Fb)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _scatter(ohs, d, S, KN, cd):
+    """Transpose of the sender gather: per-sample ``oh^T @ d``.
+
+    ohs: per-sample (KN, Np) one-hots; d: (S*KN, F). Returns (S*Np, F).
+    """
+    outs = [
+        jax.lax.dot_general(
+            ohs[s], d[s * KN:(s + 1) * KN],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cd)
+        for s in range(S)
+    ]
+    return jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
+
+
+def _train_bwd_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, Dp,
+                      nodes_ref, nbr_ref, mask_ref, dmot_ref,
+                      pe0w, pe0b, pe1w, pe1b, pe2w, pe2b,
+                      re0w, re0b, re1w, re1b, re2w, re2b,
+                      rp_w1, rp_w23, rp_b,
+                      pp_wa, pp_wb, pp_b,
+                      nr0w, nr0b, nr1w, nr1b, nr2w, nr2b,
+                      dnodes_ref,
+                      g_pe0w, g_pe0b, g_pe1w, g_pe1b, g_pe2w, g_pe2b,
+                      g_re0w, g_re0b, g_re1w, g_re1b, g_re2w, g_re2b,
+                      g_rp_w1, g_rp_w23, g_rp_b,
+                      g_pp_wa, g_pp_wb, g_pp_b,
+                      g_nr0w, g_nr0b, g_nr1w, g_nr1b, g_nr2w, g_nr2b):
+    f32 = jnp.float32
+    cd = compute_dtype
+    KN = K * Np
+    SN = S * Np
+    nf = cfg.nf_effect
+    nh3 = cfg.n_his * 3
+
+    def tileK(x):
+        return _tileK(x, S, K, Np)
+
+    def untileK(x, F):
+        # transpose of tileK: (S*K*Np, F) -> (S*Np, F) summing the K slots
+        return jnp.sum(x.reshape(S, K, Np, F), axis=1, dtype=f32).reshape(SN, F)
+
+    # ---- recompute the forward, bit-identical to fused_forward_batch ----
+    col = jax.lax.broadcasted_iota(jnp.int32, (S * KN, Np), 1)
+    oh_all = (nbr_ref[0] == col).astype(cd)
+    ohs = [oh_all[s * KN:(s + 1) * KN] for s in range(S)]
+    rel_bias = ((mask_ref[0] - 1.0) * jnp.float32(3e38)).astype(cd)
+
+    def gather_s(x):
+        return _gather(ohs, x, S, Np, cd)
+
+    nodes = nodes_ref[0]                    # (SN, Dp + nh3 + 3) cd
+    node_g = nodes[:, Dp:]                  # [state_norm | attrs | g]
+    T = tileK(node_g)
+    G = gather_s(node_g)
+    rel_inputs = jnp.concatenate(
+        [
+            T[:, nh3:nh3 + 2],
+            G[:, nh3:nh3 + 2],
+            jnp.abs(T[:, nh3 + 2:] - G[:, nh3 + 2:]),
+            T[:, :nh3] - G[:, :nh3],
+        ],
+        axis=-1,
+    )
+    p_inputs = nodes[:, :Dp]
+
+    def relu(x):
+        return jnp.maximum(x, 0.0)
+
+    def pos_mask(x):
+        # Mosaic rejects compares on bf16 vectors; compare in f32
+        return (x.astype(f32) > 0).astype(cd)
+
+    # encoders with live hiddens (needed by the backward)
+    pe_h1 = relu(_dot(p_inputs, pe0w[:]) + pe0b[:]).astype(cd)
+    pe_h2 = relu(_dot(pe_h1, pe1w[:]) + pe1b[:]).astype(cd)
+    p_enc = relu(_dot(pe_h2, pe2w[:]) + pe2b[:]).astype(cd)
+    re_h1 = relu(_dot(rel_inputs, re0w[:]) + re0b[:]).astype(cd)
+    re_h2 = relu(_dot(re_h1, re1w[:]) + re1b[:]).astype(cd)
+    r_enc = relu(_dot(re_h2, re2w[:]) + re2b[:]).astype(cd)
+
+    rel_base = (_dot(r_enc, rp_w1[:]) + rp_b[:]).astype(cd) + rel_bias
+    part_base = (_dot(p_enc, pp_wa[:]) + pp_b[:]).astype(cd)
+
+    effs = [p_enc]
+    ms, aggs = [], []
+    for _ in range(cfg.pstep):
+        rs = _dot(effs[-1], rp_w23[:]).astype(cd)
+        send = gather_s(rs[:, nf:])
+        m = relu(rel_base + tileK(rs[:, :nf]) + send).astype(cd)
+        agg = jnp.sum(m.reshape(S, K, Np, nf), axis=1, dtype=f32).reshape(SN, nf)
+        eff = relu(part_base + _dot(agg.astype(cd), pp_wb[:]).astype(cd)
+                   + effs[-1]).astype(cd)
+        ms.append(m)
+        aggs.append(agg.astype(cd))
+        effs.append(eff)
+    eff_P = effs[-1]
+    nr_h1 = relu(_dot(eff_P, nr0w[:]) + nr0b[:]).astype(cd)
+    nr_h2 = relu(_dot(nr_h1, nr1w[:]) + nr1b[:]).astype(cd)
+
+    # ---- backward ----
+    # dmot is the cotangent of the RAW motion (the clip derivative is applied
+    # outside the kernel); rows beyond the object block are zero.
+    dmot = dmot_ref[0].astype(cd)           # (SN, 3)
+
+    b = pl.program_id(0)
+
+    def acc(ref, val):
+        @pl.when(b == 0)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+        ref[...] += val
+
+    # motion head MLP (relu on hiddens only)
+    acc(g_nr2w, _dTt(nr_h2, dmot))
+    acc(g_nr2b, _rowsum(dmot))
+    d_h2 = (_dot(dmot, nr2w[:].T).astype(cd)
+            * pos_mask(nr_h2))
+    acc(g_nr1w, _dTt(nr_h1, d_h2))
+    acc(g_nr1b, _rowsum(d_h2))
+    d_h1 = (_dot(d_h2, nr1w[:].T).astype(cd) * pos_mask(nr_h1))
+    acc(g_nr0w, _dTt(eff_P, d_h1))
+    acc(g_nr0b, _rowsum(d_h1))
+    d_eff = _dot(d_h1, nr0w[:].T).astype(cd)   # cotangent of eff_P
+
+    d_part_base = jnp.zeros((SN, nf), f32)
+    d_rel_base = jnp.zeros((S * KN, nf), f32)
+    g_wb = jnp.zeros((nf, nf), f32)
+    g_w23 = jnp.zeros((nf, 2 * nf), f32)
+    for t in reversed(range(cfg.pstep)):
+        d_pre = (d_eff * pos_mask(effs[t + 1])).astype(cd)
+        d_part_base = d_part_base + d_pre.astype(f32)
+        g_wb = g_wb + _dTt(aggs[t], d_pre)
+        d_agg = _dot(d_pre, pp_wb[:].T).astype(cd)
+        d_m = (tileK(d_agg) * pos_mask(ms[t])).astype(cd)
+        d_rel_base = d_rel_base + d_m.astype(f32)
+        d_recv = untileK(d_m, nf).astype(cd)
+        d_sendg = _scatter(ohs, d_m, S, KN, cd)
+        d_rs = jnp.concatenate([d_recv, d_sendg], axis=1)
+        g_w23 = g_w23 + _dTt(effs[t], d_rs)
+        d_eff = (d_pre + _dot(d_rs, rp_w23[:].T).astype(cd)).astype(cd)
+
+    acc(g_pp_wb, g_wb)
+    acc(g_rp_w23, g_w23)
+    d_part_base = d_part_base.astype(cd)
+    d_rel_base = d_rel_base.astype(cd)
+    acc(g_pp_b, _rowsum(d_part_base))
+    acc(g_pp_wa, _dTt(p_enc, d_part_base))
+    d_p_enc = (d_eff + _dot(d_part_base, pp_wa[:].T).astype(cd)).astype(cd)
+    acc(g_rp_b, _rowsum(d_rel_base))
+    acc(g_rp_w1, _dTt(r_enc, d_rel_base))
+    d_r_enc = _dot(d_rel_base, rp_w1[:].T).astype(cd)
+
+    # relation encoder MLP backward (relu after every layer)
+    d3 = (d_r_enc * pos_mask(r_enc)).astype(cd)
+    acc(g_re2w, _dTt(re_h2, d3))
+    acc(g_re2b, _rowsum(d3))
+    d2 = (_dot(d3, re2w[:].T).astype(cd) * pos_mask(re_h2))
+    acc(g_re1w, _dTt(re_h1, d2))
+    acc(g_re1b, _rowsum(d2))
+    d1 = (_dot(d2, re1w[:].T).astype(cd) * pos_mask(re_h1))
+    acc(g_re0w, _dTt(rel_inputs, d1))
+    acc(g_re0b, _rowsum(d1))
+    d_rel_in = _dot(d1, re0w[:].T).astype(cd)   # (SKN, 5 + nh3)
+
+    # particle encoder MLP backward
+    dp3 = (d_p_enc * pos_mask(p_enc)).astype(cd)
+    acc(g_pe2w, _dTt(pe_h2, dp3))
+    acc(g_pe2b, _rowsum(dp3))
+    dp2 = (_dot(dp3, pe2w[:].T).astype(cd) * pos_mask(pe_h2))
+    acc(g_pe1w, _dTt(pe_h1, dp2))
+    acc(g_pe1b, _rowsum(dp2))
+    dp1 = (_dot(dp2, pe1w[:].T).astype(cd) * pos_mask(pe_h1))
+    acc(g_pe0w, _dTt(p_inputs, dp1))
+    acc(g_pe0b, _rowsum(dp1))
+    d_p_inputs = _dot(dp1, pe0w[:].T)           # (SN, Dp) f32
+
+    # rel_inputs = [T_a | G_a | |T_g - G_g| | T_sn - G_sn]
+    # d wrt the packed node_g = [sn | attrs | g] on both endpoint sides
+    sg = jnp.sign((T[:, nh3 + 2:] - G[:, nh3 + 2:]).astype(f32)).astype(cd)  # (SKN, 1)
+    d_abs = d_rel_in[:, 4:5]
+    dT = jnp.concatenate(
+        [d_rel_in[:, 5:], d_rel_in[:, 0:2], d_abs * sg], axis=1)
+    dG = jnp.concatenate(
+        [-d_rel_in[:, 5:], d_rel_in[:, 2:4], -(d_abs * sg)], axis=1)
+    d_node_g = untileK(dT, nh3 + 3) + _scatter(ohs, dG, S, KN, f32)
+
+    dnodes_ref[0] = jnp.concatenate(
+        [d_p_inputs.astype(f32), d_node_g.astype(f32)], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "interpret", "k_used",
+                     "samples_per_block"),
+)
+def _bwd_pallas(params, nodes, nbr_flat, mask_flat, dmot_pad,
+                cfg: GNNConfig, k_used, compute_dtype=jnp.bfloat16,
+                samples_per_block=4, interpret=False):
+    """Run the backward kernel. ``nodes/nbr_flat/mask_flat`` are the packed
+    kernel inputs (as produced by ``_pack_inputs``); ``dmot_pad`` is the raw
+    motion cotangent zero-padded to (B, Np, 3).
+
+    Returns (dnodes (B, Np, Dpacked) f32, grads_list — the 23 weight grads in
+    ``_weight_list`` order, f32, in KERNEL layout)."""
+    B = nodes.shape[0]
+    N = cfg.n_nodes
+    Np = _round_up(N, 8)
+    K = k_used
+    nh3 = cfg.n_his * 3
+    Dp = nodes.shape[-1] - nh3 - 3
+
+    S = samples_per_block
+    while B % S:
+        S //= 2
+    nB = B // S
+
+    weights = _weight_list(params, cfg, compute_dtype)
+
+    ins = [
+        nodes.reshape(nB, S * Np, nodes.shape[-1]),
+        nbr_flat.reshape(nB, S * K * Np, 1),
+        mask_flat.reshape(nB, S * K * Np, 1),
+        dmot_pad.reshape(nB, S * Np, 3),
+    ]
+
+    def block1(shape):
+        return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    def gspec(arr):
+        # shared accumulator block: every grid step maps to block 0
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [block1(x.shape[1:]) for x in ins] + [wspec(w) for w in weights]
+
+    grad_shapes = [jax.ShapeDtypeStruct(
+        w.shape if w.ndim == 2 else (1, w.shape[0]), jnp.float32)
+        for w in weights]
+    out_shape = [jax.ShapeDtypeStruct((nB, S * Np, nodes.shape[-1]), jnp.float32)]
+    out_shape += grad_shapes
+    out_specs = [block1((S * Np, nodes.shape[-1]))]
+    out_specs += [gspec(g) for g in grad_shapes]
+
+    kernel = functools.partial(_train_bwd_kernel, cfg, compute_dtype, Np, K, S, Dp)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nB,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins, *weights)
+    dnodes = outs[0].reshape(B, Np, nodes.shape[-1])
+    return dnodes, list(outs[1:])
+
+
+def _pack_inputs(cfg, state, action, physics, attrs, p_instance, neighbors,
+                 nbr_mask, k_used, compute_dtype):
+    """The node/edge packing of ``fused_forward_batch`` (kept in sync)."""
+    N = cfg.n_nodes
+    n_p, n_s = cfg.max_nobj, cfg.max_neef
+    Np = _round_up(N, 8)
+    B = state.shape[0]
+    n_his = cfg.n_his
+    K = k_used
+
+    def padN(x):
+        return jnp.pad(x, [(0, 0), (0, Np - N)] + [(0, 0)] * (x.ndim - 2))
+
+    state_res = state[:, 1:] - state[:, :-1]
+    state_norm = jnp.concatenate([state_res, state[:, -1:]], axis=1)
+    state_norm_f = jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3)
+
+    if physics.ndim == 2 and physics.shape[-1] == cfg.phys_dim:
+        phys_p = jnp.broadcast_to(physics[:, None, :], (B, n_p, cfg.phys_dim))
+    else:
+        phys_p = physics.reshape(B, n_p, cfg.phys_dim)
+    phys_full = jnp.concatenate(
+        [phys_p, jnp.zeros((B, n_s, cfg.phys_dim), physics.dtype)], axis=1)
+
+    parts = [attrs, phys_full]
+    if cfg.action_dim > 0:
+        parts.append(action)
+    p_inputs = jnp.concatenate(parts, axis=-1)
+
+    g = jnp.concatenate(
+        [p_instance, jnp.zeros((B, n_s, cfg.n_instance), p_instance.dtype)],
+        axis=1)
+    nodes = padN(
+        jnp.concatenate([p_inputs, state_norm_f, attrs, g], axis=-1)
+    ).astype(compute_dtype)
+
+    nbr_t = jnp.swapaxes(neighbors[..., :K], -1, -2).astype(jnp.int32)
+    mask_t = jnp.swapaxes(nbr_mask[..., :K], -1, -2)
+    nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
+    mask_flat = jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(
+        B, K * Np, 1).astype(jnp.float32)
+    return nodes, nbr_flat, mask_flat
+
+
+def _grads_to_pytree(params, grads, cfg):
+    """Kernel-layout weight grads -> the ``init_params`` pytree structure."""
+    nf = cfg.nf_effect
+    (g_pe0w, g_pe0b, g_pe1w, g_pe1b, g_pe2w, g_pe2b,
+     g_re0w, g_re0b, g_re1w, g_re1b, g_re2w, g_re2b,
+     g_rp_w1, g_rp_w23, g_rp_b,
+     g_pp_wa, g_pp_wb, g_pp_b,
+     g_nr0w, g_nr0b, g_nr1w, g_nr1b, g_nr2w, g_nr2b) = grads
+
+    def vec(b):
+        return b.reshape(-1)
+
+    return {
+        "particle_encoder": [
+            {"w": g_pe0w, "b": vec(g_pe0b)},
+            {"w": g_pe1w, "b": vec(g_pe1b)},
+            {"w": g_pe2w, "b": vec(g_pe2b)},
+        ],
+        "relation_encoder": [
+            {"w": g_re0w, "b": vec(g_re0b)},
+            {"w": g_re1w, "b": vec(g_re1b)},
+            {"w": g_re2w, "b": vec(g_re2b)},
+        ],
+        "relation_propagator": {
+            # kernel splits w (3nf, nf) into w1 (nf, nf) and the fused
+            # (nf, 2nf) [w2 | w3] recv/send projection
+            "w": jnp.concatenate(
+                [g_rp_w1, g_rp_w23[:, :nf], g_rp_w23[:, nf:]], axis=0),
+            "b": vec(g_rp_b),
+        },
+        "particle_propagator": {
+            "w": jnp.concatenate([g_pp_wa, g_pp_wb], axis=0),
+            "b": vec(g_pp_b),
+        },
+        "non_rigid_predictor": [
+            {"w": g_nr0w, "b": vec(g_nr0b)},
+            {"w": g_nr1w, "b": vec(g_nr1b)},
+            {"w": g_nr2w, "b": vec(g_nr2b)},
+        ],
+    }
+
+
+def make_fused_train_forward(cfg: GNNConfig, k_used, compute_dtype=jnp.bfloat16,
+                             samples_per_block_fwd=8, samples_per_block_bwd=4,
+                             interpret=False):
+    """Build the differentiable fused forward.
+
+    Returns ``f(params, state, action, physics, attrs, p_instance,
+    neighbors, nbr_mask) -> pred (B, max_nobj, 3)`` with a custom VJP whose
+    backward runs one Pallas kernel (recompute + grads in VMEM).
+
+    ``k_used`` must equal ``EdgeConfig.topk + max_neef`` (the real slot
+    count; tile-padded slots are masked and skipped).
+    """
+    assert _supports(cfg) and cfg.state_dim == 0, cfg
+    N = cfg.n_nodes
+    Np = _round_up(N, 8)
+    n_p = cfg.max_nobj
+    nh3 = cfg.n_his * 3
+
+    def fwd_only(params, state, action, physics, attrs, p_instance,
+                 neighbors, nbr_mask):
+        graphs = {
+            "state": state, "attrs": attrs, "neighbors": neighbors,
+            "nbr_mask": nbr_mask, "action": action, "p_instance": p_instance,
+            "physics_param": physics,
+        }
+        pred, motion = fused_forward_batch(
+            params, graphs, cfg, compute_dtype=compute_dtype,
+            interpret=interpret, k_used=k_used,
+            samples_per_block=samples_per_block_fwd, want_motion=True)
+        return pred, motion
+
+    @jax.custom_vjp
+    def f(params, state, action, physics, attrs, p_instance, neighbors, nbr_mask):
+        return fwd_only(params, state, action, physics, attrs, p_instance,
+                        neighbors, nbr_mask)[0]
+
+    def f_fwd(params, state, action, physics, attrs, p_instance, neighbors, nbr_mask):
+        pred, motion = fwd_only(params, state, action, physics, attrs,
+                                p_instance, neighbors, nbr_mask)
+        res = (params, state, action, physics, attrs, p_instance, neighbors,
+               nbr_mask, motion)
+        return pred, res
+
+    def f_bwd(res, d_pred):
+        (params, state, action, physics, attrs, p_instance, neighbors,
+         nbr_mask, motion) = res
+        B = state.shape[0]
+
+        # pred = last + clip(motion): the clip derivative and the last-state
+        # passthrough live OUTSIDE the kernel
+        clip_mask = (jnp.abs(motion) < cfg.motion_clamp).astype(jnp.float32)
+        dmot = d_pred * clip_mask                     # (B, n_p, 3)
+        dmot_pad = jnp.zeros((B, Np, 3), jnp.float32).at[:, :n_p].set(dmot)
+
+        nodes, nbr_flat, mask_flat = _pack_inputs(
+            cfg, state, action, physics, attrs, p_instance, neighbors,
+            nbr_mask, k_used, compute_dtype)
+        dnodes, grads = _bwd_pallas(
+            params, nodes, nbr_flat, mask_flat, dmot_pad, cfg, k_used,
+            compute_dtype=compute_dtype,
+            samples_per_block=samples_per_block_bwd, interpret=interpret)
+        dnodes = dnodes[:, :N]                        # strip row padding
+
+        Dp = nodes.shape[-1] - nh3 - 3
+        d_p_inputs = dnodes[:, :, :Dp]
+        d_node_g = dnodes[:, :, Dp:]
+
+        # packed-layout splits (see _pack_inputs): p_inputs = [attrs|phys|act],
+        # node_g = [state_norm | attrs | g]
+        d_attrs = d_p_inputs[:, :, :2] + d_node_g[:, :, nh3:nh3 + 2]
+        d_phys_rows = d_p_inputs[:, :, 2:2 + cfg.phys_dim]
+        if physics.ndim == 2 and physics.shape[-1] == cfg.phys_dim:
+            d_physics = jnp.sum(d_phys_rows[:, :n_p], axis=1)
+        else:
+            d_physics = jnp.sum(d_phys_rows[:, :n_p], axis=-1).reshape(physics.shape)
+        d_action = (d_p_inputs[:, :, 2 + cfg.phys_dim:]
+                    if cfg.action_dim > 0 else jnp.zeros_like(action))
+        d_p_instance = d_node_g[:, :n_p, nh3 + 2:]
+
+        # state_norm -> state history: sn_i = s_{i+1} - s_i (i < n_his-1),
+        # sn_{last} = s_{last}; plus the pred = last + ... passthrough
+        d_sn = d_node_g[:, :, :nh3].reshape(B, N, cfg.n_his, 3)
+        d_sn = jnp.moveaxis(d_sn, 2, 1)               # (B, n_his, N, 3)
+        d_state = jnp.zeros_like(state)
+        d_state = d_state.at[:, 1:].add(d_sn[:, : cfg.n_his - 1])
+        d_state = d_state.at[:, : cfg.n_his - 1].add(-d_sn[:, : cfg.n_his - 1])
+        d_state = d_state.at[:, -1].add(d_sn[:, -1])
+        d_state = d_state.at[:, -1, :n_p].add(d_pred)
+
+        d_params = _grads_to_pytree(params, grads, cfg)
+        d_params = jax.tree_util.tree_map(
+            lambda p, g: g.astype(p.dtype), params, d_params)
+
+        zero_nbrs = np.zeros(neighbors.shape, jax.dtypes.float0)
+        zero_mask = np.zeros(nbr_mask.shape, jax.dtypes.float0)
+        return (d_params, d_state.astype(state.dtype),
+                d_action.astype(action.dtype), d_physics.astype(physics.dtype),
+                d_attrs.astype(attrs.dtype), d_p_instance.astype(p_instance.dtype),
+                zero_nbrs, zero_mask)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
