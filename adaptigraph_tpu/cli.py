@@ -235,7 +235,7 @@ def cmd_train(args):
     tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size,
                      num_workers=nw)
     va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size,
-                     num_workers=0)
+                     num_workers=max(2, nw // 2))
 
     mesh = None
     if args.n_devices > 1:

@@ -36,12 +36,17 @@ def _sq_dist_matrix(pcd):
 
 class _SqDist:
     """Row provider for squared distances: dense matrix when small,
-    on-demand BLAS matvec when large."""
+    on-demand BLAS matvec when large or when only a few rows will be
+    visited (``expected_rows`` hint — e.g. FPS of 100 picks from 800+
+    points touches ~100 rows; the full n^2 matrix would cost more than
+    the whole loop)."""
 
-    def __init__(self, pcd):
+    def __init__(self, pcd, expected_rows=None):
         self.pcd = np.asarray(pcd, np.float64)
         self.n = self.pcd.shape[0]
-        if self.n <= _DENSE_N:
+        dense = self.n <= _DENSE_N and (
+            expected_rows is None or expected_rows * 4 >= self.n)
+        if dense:
             self.D = _sq_dist_matrix(self.pcd)
             self.sq = None
         else:
@@ -66,7 +71,7 @@ def fps_numpy(pcd, num, start_idx=None, rng=None):
     if start_idx is None:
         rng = rng or np.random
         start_idx = int(rng.randint(0, n)) if hasattr(rng, "randint") else int(rng.integers(0, n))
-    sd = _SqDist(pcd)
+    sd = _SqDist(pcd, expected_rows=num)
     idxs = np.empty(num, dtype=np.int64)
     idxs[0] = start_idx
     dist = sd.row(start_idx).copy()
