@@ -41,13 +41,16 @@ def _dyn_objects(config):
         policy = "non_fixed"
     elif ds.get("connect_tool_all"):
         policy = "tools_all"
-    elif ds.get("connect_tools_surface"):
+    elif ds.get("connect_tools_surface") or ds.get("connect_tool_surface"):
+        # both spellings: the reference configs say connect_tool_surface
+        # (config/dynamics/softbody.yaml:81), its code connect_tools_surface
         policy = "surface"
     else:
         policy = "none"
     edge_cfg = EdgeConfig(
         max_nobj=spec.max_nobj, max_neef=spec.max_neef, topk=spec.topk,
         policy=policy,
+        surface_ratio=float(ds.get("connect_tool_surface_ratio", 1.0)),
     )
     tc = config["train_config"]
     rand = config["dataset_config"].get("randomness", {})
