@@ -183,3 +183,34 @@ def test_translation_invariance_of_motion():
     g2["state"] = graph["state"] + jnp.asarray([10.0, -5.0, 3.0])
     _, m2 = forward(params, g2, CFG)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-3, atol=1e-3)
+
+
+def test_forward_matches_golden_fixture():
+    """Regression guard: the forward must reproduce saved activations
+    bit-for-bit-ish across refactors (fixtures/golden/gnn_forward.npz,
+    generated from this implementation; the reference offers no goldens —
+    SURVEY.md §4 requires us to create them)."""
+    import os
+
+    import jax
+
+    path = os.path.join(os.path.dirname(__file__), "..", "fixtures", "golden",
+                        "gnn_forward.npz")
+    z = np.load(path)
+    cfg = GNNConfig(n_his=4, max_nobj=20, max_neef=2, nf_particle=24,
+                    nf_relation=24, nf_effect=24, pstep=3, phys_dim=2)
+    template = init_params(jax.random.PRNGKey(0), cfg)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [z[f"param_{i}"] for i in range(len(flat))])
+    graph = {
+        "state": z["state"], "attrs": z["attrs"], "neighbors": z["neighbors"],
+        "nbr_mask": z["nbr_mask"], "action": z["action"],
+        "p_instance": z["p_instance"], "physics_param": z["physics_param"],
+    }
+    pred, motion = forward(params, graph, cfg)
+    # fixture generated on the single-device CPU backend; the 8-virtual-device
+    # test backend reassociates reductions (~5e-4 abs) — tolerance is sized to
+    # catch semantic drift (O(0.1+)), not FP reassociation
+    np.testing.assert_allclose(np.asarray(pred), z["pred"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(motion), z["motion"], rtol=2e-3, atol=2e-3)
