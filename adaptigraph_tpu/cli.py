@@ -238,7 +238,7 @@ def cmd_train(args):
     tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size,
                      num_workers=nw)
     va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size,
-                     num_workers=max(2, nw // 2))
+                     num_workers=max(2, nw // 2) if nw else 0)
 
     mesh = None
     if args.n_devices > 1:

@@ -44,7 +44,8 @@ batching tricks:
 Functionally identical to ``models.gnn.forward`` for configs with
 ``rel_particle_dim == rel_density_dim == density_dim == 0`` (all shipped
 materials); parity is tested in tests/test_fused.py. Used on the inference
-hot paths (MPPI, rollout); training keeps the XLA path for autodiff.
+hot paths (MPPI, rollout); training differentiates through it via the
+custom-VJP Pallas backward in ``ops/fused_gnn_train.py``.
 """
 
 import functools
@@ -309,6 +310,64 @@ def _kernel(cfg: GNNConfig, compute_dtype, Np, K, S, edge_build, Dp,
         out_refs[1][0] = motion
 
 
+def pack_node_inputs(cfg: GNNConfig, state, action, physics, attrs, p_instance,
+                     compute_dtype):
+    """ONE packed node tensor ``[p_inputs | state_norm | attrs | g]``
+    -> ((B, Np, D) in compute_dtype, Dp).
+
+    Shared by the forward wrapper and the training backward
+    (``ops.fused_gnn_train``), which recomputes the forward and therefore
+    must see byte-identical packing."""
+    N = cfg.n_nodes
+    n_p, n_s = cfg.max_nobj, cfg.max_neef
+    Np = _round_up(N, 8)
+    B = state.shape[0]
+    n_his = cfg.n_his
+
+    state_res = state[:, 1:] - state[:, :-1]
+    state_norm = jnp.concatenate([state_res, state[:, -1:]], axis=1)
+    state_norm_f = jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3)
+
+    if physics.ndim == 2 and physics.shape[-1] == cfg.phys_dim:
+        phys_p = jnp.broadcast_to(physics[:, None, :], (B, n_p, cfg.phys_dim))
+    else:
+        phys_p = physics.reshape(B, n_p, cfg.phys_dim)
+    phys_full = jnp.concatenate(
+        [phys_p, jnp.zeros((B, n_s, cfg.phys_dim), physics.dtype)], axis=1)
+
+    parts = [attrs]
+    if cfg.state_dim > 0:
+        parts.append(state_norm_f)
+    parts.append(phys_full)
+    if cfg.action_dim > 0:
+        parts.append(action)
+    p_inputs = jnp.concatenate(parts, axis=-1)
+    Dp = p_inputs.shape[-1]
+
+    g = jnp.concatenate(
+        [p_instance, jnp.zeros((B, n_s, cfg.n_instance), p_instance.dtype)],
+        axis=1)
+    nodes = jnp.pad(
+        jnp.concatenate([p_inputs, state_norm_f, attrs, g], axis=-1),
+        [(0, 0), (0, Np - N), (0, 0)],
+    ).astype(compute_dtype)
+    return nodes, Dp
+
+
+def pack_edge_tables(neighbors, nbr_mask, K, N, Np):
+    """neighbors/mask (B, N, >=K) -> flat (B, K*Np, 1) tables in the kernels'
+    (k, i) row order; padded rows point at node 0 with mask 0."""
+    B = neighbors.shape[0]
+    nbr_t = jnp.swapaxes(neighbors[..., :K], -1, -2).astype(jnp.int32)
+    mask_t = jnp.swapaxes(nbr_mask[..., :K], -1, -2)
+    nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
+    mask_flat = (
+        jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
+        .astype(jnp.float32)
+    )
+    return nbr_flat, mask_flat
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "interpret", "k_used",
@@ -339,7 +398,7 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     """
     assert _supports(cfg), "config not supported by the fused kernel"
     N = cfg.n_nodes
-    n_p, n_s = cfg.max_nobj, cfg.max_neef
+    n_p = cfg.max_nobj
     Np = _round_up(N, 8)
     state = graphs["state"]
     B = state.shape[0]
@@ -349,66 +408,29 @@ def fused_forward_batch(params, graphs, cfg: GNNConfig, compute_dtype=jnp.bfloat
     else:
         K_stored = graphs["neighbors"].shape[-1]
         K = min(k_used or K_stored, K_stored)
-    n_his = cfg.n_his
 
     S = samples_per_block
     while B % S:  # batch must tile into S-sample blocks
         S //= 2
     nB = B // S
 
-    def padN(x):
-        # zero-pad the node axis (axis 1) N -> Np
-        return jnp.pad(x, [(0, 0), (0, Np - N)] + [(0, 0)] * (x.ndim - 2))
-
     def blockS(x):
         # (B, Np, F) -> (nB, S*Np, F): stack S samples' node rows per block
         return x.reshape(nB, S * Np, *x.shape[2:])
 
     # ---- cheap node-level prep in XLA (O(B*N*small)) ----
-    state_res = state[:, 1:] - state[:, :-1]
-    state_norm = jnp.concatenate([state_res, state[:, -1:]], axis=1)
-    state_norm_f = jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3)
-
-    phys = graphs["physics_param"]
-    if phys.ndim == 2 and phys.shape[-1] == cfg.phys_dim:
-        phys_p = jnp.broadcast_to(phys[:, None, :], (B, n_p, cfg.phys_dim))
-    else:
-        phys_p = phys.reshape(B, n_p, cfg.phys_dim)
-    phys_full = jnp.concatenate([phys_p, jnp.zeros((B, n_s, cfg.phys_dim), phys.dtype)], axis=1)
-
-    parts = [graphs["attrs"]]
-    if cfg.state_dim > 0:
-        parts.append(state_norm_f)
-    parts.append(phys_full)
-    if cfg.action_dim > 0:
-        parts.append(graphs["action"])
-    p_inputs = jnp.concatenate(parts, axis=-1)
-    Dp = p_inputs.shape[-1]
-
-    g = jnp.concatenate(
-        [graphs["p_instance"],
-         jnp.zeros((B, n_s, cfg.n_instance), graphs["p_instance"].dtype)],
-        axis=1,
-    )
-    # one packed bf16 node tensor: [p_inputs | state_norm | attrs | g]
-    nodes = padN(
-        jnp.concatenate([p_inputs, state_norm_f, graphs["attrs"], g], axis=-1)
-    ).astype(compute_dtype)
-    last_state_p = padN(state[:, -1])
+    nodes, Dp = pack_node_inputs(cfg, state, graphs.get("action"),
+                                 graphs["physics_param"], graphs["attrs"],
+                                 graphs["p_instance"], compute_dtype)
+    last_state_p = jnp.pad(state[:, -1], [(0, 0), (0, Np - N), (0, 0)])
 
     if build_edges:
         # dummies keep the ref list uniform; never read by the kernel
         nbr_flat = jnp.zeros((B, 1, 1), jnp.int32)
         mask_flat = jnp.zeros((B, 1, 1), jnp.float32)
     else:
-        # neighbors/mask -> flat (B, K*Np, 1) in (k, i) row order; padded rows
-        # point at node 0 with mask 0 (node 0's padded gather is masked out)
-        nbr_t = jnp.swapaxes(graphs["neighbors"][..., :K], -1, -2).astype(jnp.int32)  # (B, K, N)
-        mask_t = jnp.swapaxes(graphs["nbr_mask"][..., :K], -1, -2)
-        nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
-        mask_flat = (
-            jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1).astype(jnp.float32)
-        )
+        nbr_flat, mask_flat = pack_edge_tables(
+            graphs["neighbors"], graphs["nbr_mask"], K, N, Np)
 
     weights = _weight_list(params, cfg, compute_dtype)
 

@@ -39,7 +39,6 @@ from adaptigraph_tpu.ops.fused_gnn import (
     _dot,
     _gather,
     _round_up,
-    _stackS,
     _supports,
     _tileK,
     _weight_list,
@@ -238,7 +237,11 @@ def _train_bwd_kernel(cfg: GNNConfig, compute_dtype, Np, K, S, Dp,
 
     # rel_inputs = [T_a | G_a | |T_g - G_g| | T_sn - G_sn]
     # d wrt the packed node_g = [sn | attrs | g] on both endpoint sides
-    sg = jnp.sign((T[:, nh3 + 2:] - G[:, nh3 + 2:]).astype(f32)).astype(cd)  # (SKN, 1)
+    # d|x|/dx with the XLA convention abs'(0) = 1 (jax.grad(jnp.abs)(0.)==1).
+    # sign + 1 - |sign| maps {-1, 0, 1} -> {-1, 1, 1} with no vector compare
+    # (Mosaic rejects compares on narrow-lane operands).
+    sg0 = jnp.sign((T[:, nh3 + 2:] - G[:, nh3 + 2:]).astype(f32))
+    sg = (sg0 + (1.0 - jnp.abs(sg0))).astype(cd)  # (SKN, 1)
     d_abs = d_rel_in[:, 4:5]
     dT = jnp.concatenate(
         [d_rel_in[:, 5:], d_rel_in[:, 0:2], d_abs * sg], axis=1)
@@ -325,45 +328,16 @@ def _bwd_pallas(params, nodes, nbr_flat, mask_flat, dmot_pad,
 
 def _pack_inputs(cfg, state, action, physics, attrs, p_instance, neighbors,
                  nbr_mask, k_used, compute_dtype):
-    """The node/edge packing of ``fused_forward_batch`` (kept in sync)."""
+    """The forward's packing, via the SHARED helpers in ``fused_gnn`` — the
+    backward recomputes the forward, so both must see byte-identical
+    packing by construction, not by convention."""
+    from adaptigraph_tpu.ops.fused_gnn import pack_edge_tables, pack_node_inputs
+
     N = cfg.n_nodes
-    n_p, n_s = cfg.max_nobj, cfg.max_neef
     Np = _round_up(N, 8)
-    B = state.shape[0]
-    n_his = cfg.n_his
-    K = k_used
-
-    def padN(x):
-        return jnp.pad(x, [(0, 0), (0, Np - N)] + [(0, 0)] * (x.ndim - 2))
-
-    state_res = state[:, 1:] - state[:, :-1]
-    state_norm = jnp.concatenate([state_res, state[:, -1:]], axis=1)
-    state_norm_f = jnp.moveaxis(state_norm, 1, 2).reshape(B, N, n_his * 3)
-
-    if physics.ndim == 2 and physics.shape[-1] == cfg.phys_dim:
-        phys_p = jnp.broadcast_to(physics[:, None, :], (B, n_p, cfg.phys_dim))
-    else:
-        phys_p = physics.reshape(B, n_p, cfg.phys_dim)
-    phys_full = jnp.concatenate(
-        [phys_p, jnp.zeros((B, n_s, cfg.phys_dim), physics.dtype)], axis=1)
-
-    parts = [attrs, phys_full]
-    if cfg.action_dim > 0:
-        parts.append(action)
-    p_inputs = jnp.concatenate(parts, axis=-1)
-
-    g = jnp.concatenate(
-        [p_instance, jnp.zeros((B, n_s, cfg.n_instance), p_instance.dtype)],
-        axis=1)
-    nodes = padN(
-        jnp.concatenate([p_inputs, state_norm_f, attrs, g], axis=-1)
-    ).astype(compute_dtype)
-
-    nbr_t = jnp.swapaxes(neighbors[..., :K], -1, -2).astype(jnp.int32)
-    mask_t = jnp.swapaxes(nbr_mask[..., :K], -1, -2)
-    nbr_flat = jnp.pad(nbr_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(B, K * Np, 1)
-    mask_flat = jnp.pad(mask_t, [(0, 0), (0, 0), (0, Np - N)]).reshape(
-        B, K * Np, 1).astype(jnp.float32)
+    nodes, _ = pack_node_inputs(cfg, state, action, physics, attrs,
+                                p_instance, compute_dtype)
+    nbr_flat, mask_flat = pack_edge_tables(neighbors, nbr_mask, k_used, N, Np)
     return nodes, nbr_flat, mask_flat
 
 
@@ -481,9 +455,11 @@ def make_fused_train_forward(cfg: GNNConfig, k_used, compute_dtype=jnp.bfloat16,
         d_attrs = d_p_inputs[:, :, :2] + d_node_g[:, :, nh3:nh3 + 2]
         d_phys_rows = d_p_inputs[:, :, 2:2 + cfg.phys_dim]
         if physics.ndim == 2 and physics.shape[-1] == cfg.phys_dim:
+            # broadcast-per-object case: sum the per-row cotangents
             d_physics = jnp.sum(d_phys_rows[:, :n_p], axis=1)
         else:
-            d_physics = jnp.sum(d_phys_rows[:, :n_p], axis=-1).reshape(physics.shape)
+            # per-particle case: one cotangent per (sample, particle, dim)
+            d_physics = d_phys_rows[:, :n_p].reshape(physics.shape)
         d_action = (d_p_inputs[:, :, 2 + cfg.phys_dim:]
                     if cfg.action_dim > 0 else jnp.zeros_like(action))
         d_p_instance = d_node_g[:, :n_p, nh3 + 2:]

@@ -108,3 +108,25 @@ def test_grad_through_autoregressive_chain(setup):
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-6)
+
+
+def test_grad_parity_per_particle_physics(setup):
+    """The hetero case (per-particle physics, reference rollout/graph.py:591-643):
+    d_physics must be per-(sample, particle), not summed."""
+    params, fused, ins = setup
+    state, action = ins[0], ins[1]
+    tail = ins[3:]
+    rng = np.random.RandomState(3)
+    phys_pp = jnp.asarray(rng.rand(4, CFG.max_nobj).astype(np.float32))
+
+    def loss_fused(ph):
+        return jnp.mean(fused(params, state, action, ph, *tail) ** 2)
+
+    def loss_xla(ph):
+        return jnp.mean(xla_pred(params, state, action, ph, *tail) ** 2)
+
+    gf = jax.grad(loss_fused)(phys_pp)
+    gx = jax.grad(loss_xla)(phys_pp)
+    assert gf.shape == phys_pp.shape
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=5e-4, atol=1e-7)
