@@ -21,13 +21,14 @@ import jax.numpy as jnp
 
 # points below this count get a precomputed pairwise squared-distance matrix
 # (n=2048 -> 16 MB f32); above it per-pick BLAS matvec updates are used.
-# Both paths compare SQUARED distances — sqrt is monotone, so argmax picks
-# and radius cuts are identical to the norm-based reference loop.
+# Both paths compare SQUARED distances in f32 — sqrt is monotone, so picks
+# and radius cuts match the reference's f32 norm loop up to FP rounding at
+# exact radius-boundary ties (measure-zero on real point clouds).
 _DENSE_N = 2048
 
 
 def _sq_dist_matrix(pcd):
-    pcd = np.asarray(pcd, np.float64)
+    pcd = np.asarray(pcd, np.float32)
     sq = np.einsum("ij,ij->i", pcd, pcd)
     D = sq[:, None] + sq[None, :] - 2.0 * (pcd @ pcd.T)
     np.maximum(D, 0.0, out=D)
@@ -42,7 +43,7 @@ class _SqDist:
     the whole loop)."""
 
     def __init__(self, pcd, expected_rows=None):
-        self.pcd = np.asarray(pcd, np.float64)
+        self.pcd = np.asarray(pcd, np.float32)
         self.n = self.pcd.shape[0]
         dense = self.n <= _DENSE_N and (
             expected_rows is None or expected_rows * 4 >= self.n)
