@@ -118,6 +118,12 @@ def _task_objects(task):
         target_path=task.get("target", None),
         clipping_height=task.get("clipping_height", None),
         rotate_pusher=task.get("rotate_pusher", False),
+        # board-frame [x_min, x_max, z_min, z_max, ...] -> sim-frame (2, 2)
+        # x/z bounds for the workspace exp-penalty (reference: plan.py:44-56)
+        workspace_bbox=(
+            np.asarray(task["bbox"][:4], np.float32).reshape(2, 2)
+            * task.get("sim_real_ratio", 10.0)
+            if task.get("bbox") is not None else None),
         # the Pallas kernel is TPU-only; XLA path elsewhere (CPU smoke runs)
         use_fused=task.get("use_fused", _default_backend() == "tpu"),
     )
