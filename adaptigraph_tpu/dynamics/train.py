@@ -170,9 +170,16 @@ def fused_train_fn(gnn_cfg, edge_cfg, compute_dtype=None):
     # f32 by default: measured on v5e the kernel is VMEM-traffic-bound, so
     # f32 runs at bf16 speed (7.3 vs 7.2 ms/step at the rope budget) while
     # matching the XLA f32 path's numerics (grad parity ~3e-6)
-    kw = {"compute_dtype": compute_dtype or jnp.float32}
+    k_used = edge_cfg.topk + edge_cfg.max_neef
+    Np8 = (gnn_cfg.n_nodes + 7) // 8 * 8
+    # samples per block bounded by the f32 edge-row working set (the bwd
+    # kernel keeps ~10 edge-sized tensors live; ~9k rows fits the raised
+    # VMEM limit at nf=128)
+    spb_fwd = next((s for s in (8, 4, 2, 1) if s * k_used * Np8 <= 18000), 1)
+    spb_bwd = next((s for s in (8, 4, 2, 1) if s * k_used * Np8 <= 9000), 1)
     return make_fused_train_forward(
-        gnn_cfg, k_used=edge_cfg.topk + edge_cfg.max_neef, **kw)
+        gnn_cfg, k_used=k_used, compute_dtype=compute_dtype or jnp.float32,
+        samples_per_block_fwd=spb_fwd, samples_per_block_bwd=spb_bwd)
 
 
 def make_train_step(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer, fused_fn=None):
