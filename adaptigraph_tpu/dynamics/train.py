@@ -159,6 +159,12 @@ def fused_train_fn(gnn_cfg, edge_cfg, compute_dtype=None):
     """The differentiable fused forward for this config, or None when the
     config/backend doesn't support it (non-TPU backend, unsupported feature
     dims, multi-chip jit-sharding — Pallas calls don't auto-partition)."""
+    import os as _os
+
+    # escape hatch for environments where the first Mosaic compile of the
+    # backward kernel is impractically slow (e.g. remote AOT tunnels)
+    if _os.environ.get("ADAPTIGRAPH_NO_FUSED_TRAIN") == "1":
+        return None
     if jax.default_backend() != "tpu":
         return None
     from adaptigraph_tpu.ops.fused_gnn import _supports
