@@ -240,11 +240,22 @@ def cmd_train(args):
     prep_dir = args.prep_dir or os.path.join(dc["prep_data_dir"], dc["data_name"])
     out_dir = args.out_dir or config["train_config"]["out_dir"]
     ratio = dc["ratio"]
-    nw = args.num_workers  # reference: DataLoader(num_workers=8), train.py:48-53
-    tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size,
-                     num_workers=nw)
-    va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size,
-                     num_workers=max(2, nw // 2) if nw else 0)
+    K = max(1, args.steps_per_call)
+    if args.slow_loader:
+        # per-sample assembly path (the reference's DataLoader(num_workers=8)
+        # analog, train.py:48-53); kept for A/B debugging
+        nw = args.num_workers
+        tr = BatchLoader(DynDataset(prep_dir, spec, "train", ratio), hyper.batch_size,
+                         num_workers=nw, stack_steps=K)
+        va = BatchLoader(DynDataset(prep_dir, spec, "valid", ratio), hyper.batch_size,
+                         num_workers=max(2, nw // 2) if nw else 0, stack_steps=K)
+    else:
+        from adaptigraph_tpu.dynamics.dataset import PackedDataset
+
+        tr = BatchLoader(PackedDataset(prep_dir, spec, "train", ratio),
+                         hyper.batch_size, stack_steps=K)
+        va = BatchLoader(PackedDataset(prep_dir, spec, "valid", ratio),
+                         hyper.batch_size, stack_steps=K)
 
     mesh = None
     if args.n_devices > 1:
@@ -456,7 +467,12 @@ def main(argv=None):
     t.add_argument("--n_devices", type=int, default=1)
     t.add_argument("--num_workers", type=int, default=4,
                    help="batch-assembly worker processes (reference: "
-                        "DataLoader num_workers=8)")
+                        "DataLoader num_workers=8); only with --slow_loader")
+    t.add_argument("--steps_per_call", type=int, default=20,
+                   help="optimizer steps per device dispatch (stacked "
+                        "superbatch + lax.scan; 1 = per-step dispatch)")
+    t.add_argument("--slow_loader", action="store_true",
+                   help="per-sample batch assembly instead of PackedDataset")
     t.add_argument("--resume", action="store_true",
                    help="restore latest params + optimizer state from out_dir")
     t.set_defaults(fn=cmd_train)

@@ -18,9 +18,11 @@ def make_mesh(n_devices=None, axis="data"):
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def shard_batch(batch, mesh, axis="data"):
-    """Place a host batch with its leading dim sharded across the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch(batch, mesh, axis="data", batch_axis=0):
+    """Place a host batch with dim ``batch_axis`` sharded across the mesh
+    (``batch_axis=1`` for ``(K, B, ...)`` superbatches — the scan axis stays
+    replicated, the per-step batch axis splits)."""
+    sharding = NamedSharding(mesh, P(*([None] * batch_axis + [axis])))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
