@@ -340,9 +340,27 @@ def cmd_plan(args):
 
     pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter,
                           obj_prompts=tcfg.obj_list, max_n=tcfg.max_n)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from adaptigraph_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            # the sharded solve needs n_chunks % n_devices == 0
+            import dataclasses as _dc
+
+            n_chunks = tcfg.mcfg.n_sample // tcfg.mcfg.n_sample_chunk
+            if n_chunks % n_dev:
+                chunk = tcfg.mcfg.n_sample // (n_dev * max(1, n_chunks // n_dev))
+                while tcfg.mcfg.n_sample % (chunk * n_dev):
+                    chunk -= 1
+                tcfg.mcfg = _dc.replace(tcfg.mcfg, n_sample_chunk=chunk)
     hist = run_plan(env, params, tcfg, target, pm=pm, save_dir=args.save_dir,
                     seed=args.seed, use_ppo=not args.no_ppo,
-                    resume=args.resume)
+                    resume=args.resume, mesh=mesh)
     if args.save_dir:
         from adaptigraph_tpu.utils.viz import plot_planning_progress
 
@@ -502,6 +520,9 @@ def main(argv=None):
     pl.add_argument("--resume", action="store_true",
                     help="continue from saved step_*.npz in --save_dir "
                          "(reference: plan.py --resume)")
+    pl.add_argument("--mesh", help="shard the MPPI sample budget over a "
+                                   "device mesh: 'auto' (all devices) or a "
+                                   "device count")
     pl.set_defaults(fn=cmd_plan)
 
     ri = sub.add_parser("random-interact", help="exploration for system ID")

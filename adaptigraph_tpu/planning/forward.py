@@ -184,11 +184,12 @@ def dynamics_rollout(params, state, action_seqs, physics_param, cfg: DynamicsCon
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_fused", "compute_dtype",
                                               "dynamic_substeps",
-                                              "fused_substeps"))
+                                              "fused_substeps", "interpret"))
 def dynamics_rollout_batched(params, state, action_seqs, physics_param,
                              cfg: DynamicsConfig, use_fused=True,
                              compute_dtype=jnp.bfloat16,
-                             dynamic_substeps=True, fused_substeps=True):
+                             dynamic_substeps=True, fused_substeps=True,
+                             interpret=False):
     """Batch-level MPPI forward model; semantics of :func:`dynamics_rollout`
     but with the whole sample batch advanced together per substep, so the
     forward can run through the fused Pallas kernel
@@ -251,7 +252,7 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
                 params, obj, kp, delta, repeat[:, li], physics_param, gnn,
                 adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,
                 max_repeat=cfg.max_repeat, gripper_lift=glift,
-                mean_y=cfg.use_mean_y,
+                mean_y=cfg.use_mean_y, interpret=interpret,
                 compute_dtype=compute_dtype, samples_per_block=spb)
             outs.append(obj)
         return {"state_seqs": jnp.stack(outs, axis=1), "action_seqs": decoded}
@@ -260,10 +261,10 @@ def dynamics_rollout_batched(params, state, action_seqs, physics_param,
         fwd = lambda g: fused_forward_batch(
             params, g, gnn, compute_dtype=compute_dtype, build_edges=True,
             adj_radius=float(cfg.adj_thresh), edge_topk=edge.topk,
-            samples_per_block=spb, want_motion=False)
+            samples_per_block=spb, want_motion=False, interpret=interpret)
     elif use_fused:
         fwd = lambda g: fused_forward_batch(
-            params, g, gnn, compute_dtype=compute_dtype,
+            params, g, gnn, compute_dtype=compute_dtype, interpret=interpret,
             k_used=edge.topk + edge.max_neef, want_motion=False)
     else:
         fwd = lambda g: forward_batch(params, g, gnn, compute_dtype=compute_dtype)

@@ -60,6 +60,7 @@ def make_mppi_solver(
     mesh=None,
     axis="data",
     use_fused=False,
+    interpret=False,
 ):
     """Build a jitted MPPI solve-iteration.
 
@@ -76,8 +77,11 @@ def make_mppi_solver(
     def chunk_rewards(params, state_cur, act_chunk, physics_param):
         if use_fused:
             # batch-level rollout through the fused Pallas GNN kernel
+            # (interpret=True builds it in interpret mode for CPU-mesh tests
+            # of the fused multi-chip composition)
             out = dynamics_rollout_batched(params, state_cur, act_chunk,
-                                           physics_param, dcfg, use_fused=True)
+                                           physics_param, dcfg, use_fused=True,
+                                           interpret=interpret)
         else:
             out = dynamics_rollout(params, state_cur, act_chunk, physics_param, dcfg)
         r = reward_fn(out["state_seqs"], act_chunk, state_cur)
@@ -127,6 +131,10 @@ def make_mppi_solver(
                 mesh=mesh,
                 in_specs=(P(), P(), P(axis), P()),
                 out_specs=(P(axis), P(axis)),
+                # pallas_call results carry no varying-mesh-axes metadata;
+                # vma checking must be off for the fused kernels to run
+                # per-shard inside the body
+                check_vma=False,
             )(params, state_cur, act_seqs, physics_param)
             return act_seqs, r, f
 

@@ -133,3 +133,78 @@ def test_multi_material_joint_eval_submeshes(setup):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rb["act_seq"]), np.asarray(eb["act_seq"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_solve_matches_single_rope_scale(setup):
+    """Rope-WIDTH sharded-vs-single parity (VERDICT r1 item 9): the real
+    model geometry — N=101 nodes, nf=128, pstep=3, topk=10
+    (config/dynamics/rope.yaml) — not the toy shapes. Sample budget is kept
+    CPU-sized; the full 20k budget runs on TPU in bench.py."""
+    gnn = GNNConfig(n_his=4, max_nobj=100, max_neef=1, nf_particle=128,
+                    nf_relation=128, nf_effect=128, pstep=3)
+    dcfg = DynamicsConfig(gnn=gnn, edge=EdgeConfig(max_nobj=100, max_neef=1, topk=10),
+                          n_his=4, max_repeat=3, adj_thresh=0.5)
+    params = init_params(jax.random.PRNGKey(1), gnn)
+    rng = np.random.RandomState(1)
+    state = jnp.asarray(rng.uniform(-0.8, 0.8, size=(100, 3)).astype(np.float32))
+    target = state + jnp.asarray([0.3, 0.0, 0.2])
+    mcfg = MPPIConfig(n_sample=16, n_sample_chunk=2, n_look_ahead=1,
+                      n_update_iter=1, reward_weight=50.0, noise_level=0.5)
+    mesh = make_mesh(8)
+    s1 = make_mppi_solver(dcfg, mcfg, make_reward(target), LOWER, UPPER)
+    s8 = make_mppi_solver(dcfg, mcfg, make_reward(target), LOWER, UPPER, mesh=mesh)
+    act0 = jnp.zeros((1, 4)).at[0, 3].set(3.0)
+    r1 = s1(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
+    r8 = s8(params, state, act0, jax.random.PRNGKey(2), jnp.asarray([0.5]))
+    np.testing.assert_allclose(float(r1["best_reward"]), float(r8["best_reward"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["act_seq"]), np.asarray(r8["act_seq"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_matches_single_rope_scale():
+    """Rope-width DP training parity on the 8-device mesh (shard_map step)."""
+    import optax
+
+    from adaptigraph_tpu.dynamics import train as train_mod
+    from adaptigraph_tpu.parallel.mesh import replicate, shard_batch
+
+    gnn = GNNConfig(n_his=4, max_nobj=100, max_neef=1, nf_particle=128,
+                    nf_relation=128, nf_effect=128, pstep=3)
+    edge = EdgeConfig(max_nobj=100, max_neef=1, topk=10)
+    hyper = train_mod.TrainHyper(n_future=3, use_augmentation=False)
+    rng = np.random.RandomState(2)
+    B, N, No = 16, gnn.n_nodes, gnn.max_nobj
+    batch = {
+        "state": rng.randn(B, 4, N, 3).astype(np.float32) * 0.3,
+        "action": np.zeros((B, N, 3), np.float32),
+        "eef_future": np.zeros((B, 2, N, 3), np.float32),
+        "action_future": np.zeros((B, 2, N, 3), np.float32),
+        "state_future": rng.randn(B, 3, No, 3).astype(np.float32) * 0.3,
+        "attrs": np.zeros((B, N, 2), np.float32),
+        "p_instance": np.ones((B, No, 1), np.float32),
+        "state_mask": np.ones((B, N), bool),
+        "eef_mask": np.zeros((B, N), bool),
+        "obj_mask": np.ones((B, No), bool),
+        "physics_param": np.full((B, 1), 0.5, np.float32),
+        "adj_thresh": np.full(B, 0.5, np.float32),
+        "knn_frac": np.ones(B, np.float32),
+    }
+    batch["eef_mask"][:, No] = True
+    batch["attrs"][:, :No, 0] = 1.0
+    batch["attrs"][:, No, 1] = 1.0
+
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(5)
+    params = init_params(jax.random.PRNGKey(0), gnn)
+    step1 = train_mod.make_train_step(gnn, edge, hyper, opt)
+    p1, _, loss1 = step1(params, opt.init(params), batch, key)
+
+    mesh = make_mesh(8)
+    params2 = init_params(jax.random.PRNGKey(0), gnn)
+    step8 = train_mod.make_train_step(gnn, edge, hyper, opt, mesh=mesh)
+    p8, _, loss8 = step8(replicate(params2, mesh), replicate(opt.init(params2), mesh),
+                         shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
