@@ -54,12 +54,22 @@ def _dyn_objects(config):
     )
     tc = config["train_config"]
     rand = config["dataset_config"].get("randomness", {})
+    # n_iters_per_epoch is a {train, valid} dict in the config yamls
+    # (mirroring the reference's n_iters_per_epoch section); accept a plain
+    # int too
+    ipe = tc.get("n_iters_per_epoch", 1000)
+    if isinstance(ipe, dict):
+        n_it_train = int(ipe.get("train", 1000))
+        n_it_valid = int(ipe.get("valid", 100))
+    else:
+        n_it_train = int(ipe)
+        n_it_valid = int(tc.get("n_iters_per_epoch_valid", 100))
     hyper = TrainHyper(
         n_future=spec.n_future,
         batch_size=tc.get("batch_size", 128),
         n_epochs=tc.get("n_epochs", 100),
-        n_iters_train=tc.get("n_iters_per_epoch", 1000),
-        n_iters_valid=tc.get("n_iters_per_epoch_valid", 100),
+        n_iters_train=n_it_train,
+        n_iters_valid=n_it_valid,
         lr=float(tc.get("lr", 1e-3)),
         use_augmentation=rand.get("use", True),
         state_noise_train=rand.get("state_noise", {}).get("train", 0.05),
@@ -336,10 +346,27 @@ def cmd_plan(args):
     else:
         # default smoke target: current object translated
         target = env.get_particles_sim() + np.array([0.5, 0.0, 0.3], np.float32)
+    from adaptigraph_tpu.realworld.detect import (color_spread_mask_fn,
+                                                  make_mask_fn)
     from adaptigraph_tpu.realworld.perception import PerceptionModule
 
+    mask_fn = None
+    if args.sim_mask:
+        # sim-backed color segmentation: exercises the full non-use_raw
+        # perception path (mask_fn + voxel/outlier filters) hardware-free
+        mask_fn = color_spread_mask_fn()
+        tcfg.use_raw = False
+    elif args.learned_perception:
+        # GroundingDINO+SAM tier (downloads/loads torch checkpoints on the
+        # first perceive; opt-in because weights may be unavailable)
+        mask_fn = make_mask_fn(tcfg.obj_list, max_n=tcfg.max_n)
+        if mask_fn is None:
+            raise SystemExit("--learned_perception needs torch+transformers "
+                             "and task obj_list prompts")
+        tcfg.use_raw = False
     pm = PerceptionModule(stride=2, k_filter=tcfg.k_filter,
-                          obj_prompts=tcfg.obj_list, max_n=tcfg.max_n)
+                          obj_prompts=tcfg.obj_list, max_n=tcfg.max_n,
+                          mask_fn=mask_fn)
     mesh = None
     if args.mesh:
         import jax
@@ -523,6 +550,12 @@ def main(argv=None):
     pl.add_argument("--mesh", help="shard the MPPI sample budget over a "
                                    "device mesh: 'auto' (all devices) or a "
                                    "device count")
+    pl.add_argument("--sim_mask", action="store_true",
+                    help="perceive through the color-segmentation mask_fn "
+                         "path (non-use_raw) against the sim renderer")
+    pl.add_argument("--learned_perception", action="store_true",
+                    help="GroundingDINO+SAM mask_fn from the task obj_list "
+                         "prompts (loads torch checkpoints lazily)")
     pl.set_defaults(fn=cmd_plan)
 
     ri = sub.add_parser("random-interact", help="exploration for system ID")

@@ -59,6 +59,10 @@ class TaskConfig:
     use_fused: bool = True
     ppo_iterations: int = 50
     # perception tier (reference: perception.py:24-33)
+    use_raw: bool = True         # depth-threshold-only perception per MPC
+                                 # step (perception.py:152); False routes
+                                 # through the PerceptionModule mask_fn +
+                                 # voxel/outlier passes (the learned tier)
     k_filter: float = 1.0        # z-percentile keep fraction
     obj_list: tuple = ()         # open-vocab detector prompts
     max_n: int = 1               # object instances in the perceived state
@@ -174,7 +178,7 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
             return np.asarray(state_fn(), np.float32)
         st, _ = get_state_cur(env, pm, fps_radius=task.fps_radius,
                               sim_real_ratio=task.sim_real_ratio,
-                              max_nobj=max_nobj, use_raw=True, rng=rng)
+                              max_nobj=max_nobj, use_raw=task.use_raw, rng=rng)
         return st
 
     def error_to_target(state):
@@ -302,7 +306,7 @@ def run_random_interact(env, params, task: TaskConfig, pm=None, save_dir=None,
             return np.asarray(state_fn(), np.float32)
         st, _ = get_state_cur(env, pm, fps_radius=task.fps_radius,
                               sim_real_ratio=task.sim_real_ratio,
-                              max_nobj=max_nobj, use_raw=True, rng=rng)
+                              max_nobj=max_nobj, use_raw=task.use_raw, rng=rng)
         return st
 
     act_seq = jnp.asarray(

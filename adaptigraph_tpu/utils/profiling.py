@@ -87,3 +87,39 @@ def time_jitted(fn, *args, iters=10, warmup=1, **kwargs):
         jax.block_until_ready(fn(*args, **kwargs))
         times.append(time.perf_counter() - t0)
     return float(np.mean(times)), float(np.std(times))
+
+
+def gnn_forward_flops(cfg, k_used):
+    """Analytic FLOP count for ONE GNN forward (one sample, one substep),
+    split into "useful" model FLOPs (encoders, propagators, head — the math
+    the reference's bmm chain does, model.py:296-342) and the one-hot
+    sender-gather matmuls (a TPU-specific lowering choice: gathers run on
+    the MXU as (N*K, N) x (N, F) products instead of serialized HBM
+    gathers). The split keeps MFU honest — gather FLOPs are real work the
+    chip does, but they are not model math.
+
+    Returns dict(useful=..., gather=...) in FLOPs (multiply-adds x 2).
+    """
+    N = cfg.n_nodes
+    K = int(k_used)
+    nf = cfg.nf_effect
+    n_p = cfg.max_nobj
+    nh3 = cfg.n_his * 3
+
+    d_in_p = cfg.attr_dim + cfg.phys_dim + (3 if cfg.action_dim else 0) \
+        + (nh3 if cfg.state_dim else 0) + (1 if cfg.density_dim else 0)
+    d_in_r = 2 * cfg.rel_attr_dim + (1 if cfg.rel_group_dim else 0) \
+        + (nh3 if cfg.rel_distance_dim else 0)
+
+    useful = 0
+    useful += 2 * N * (d_in_p * nf + 2 * nf * nf)          # particle encoder
+    useful += 2 * N * K * (d_in_r * nf + 2 * nf * nf)      # relation encoder
+    useful += 2 * N * K * nf * nf                          # rel_base (enc @ w1)
+    useful += 2 * N * nf * nf                              # part_base
+    useful += cfg.pstep * (3 * 2 * N * nf * nf)            # recv/send/agg mats
+    useful += 2 * n_p * (2 * nf * nf + nf * 3)             # motion head
+
+    # one-hot gathers: attrs, group, state-residual block, pstep x effect
+    gather_cols = cfg.attr_dim + cfg.n_instance + nh3 + cfg.pstep * nf
+    gather = 2 * N * N * K * gather_cols
+    return {"useful": float(useful), "gather": float(gather)}

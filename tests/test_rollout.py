@@ -112,3 +112,67 @@ def test_rollout_hetero_per_particle_physics():
     split = jnp.full(16, 0.4).at[8:].set(0.9)
     _, pred_hetero = rollout_scan(*args, split, *tail)
     assert np.abs(np.asarray(pred_hetero) - np.asarray(pred_scalar)).max() > 1e-4
+
+
+def test_batched_rollout_matches_sequential(prep_dir):
+    """rollout_pushes_batched (one batched scan over all pushes) must
+    reproduce the sequential per-push rollout_scan numbers exactly on the
+    XLA path, including chains of different lengths (padded steps)."""
+    from adaptigraph_tpu.dynamics.dataset import DynDataset
+    from adaptigraph_tpu.dynamics.rollout import (_prepare_push,
+                                                  rollout_pushes_batched)
+
+    ds = DynDataset(prep_dir, SPEC, phase="valid",
+                    ratio={"train": [0, 0.5], "valid": [0.5, 1.0]})
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    epi = ds._episode(0)
+    pb = epi["push_bounds"]
+
+    pushes, seq_errors = [], []
+    for p in range(len(pb) - 1):
+        b0, b1 = int(pb[p]), int(pb[p + 1])
+        if b1 - b0 < 4:
+            continue
+        prep = _prepare_push(SPEC, epi["obj_pos"][b0:b1], epi["eef_pos"][b0:b1],
+                             ds.physics_norm[0], 0.1, 100)
+        if prep is None:
+            continue
+        pushes.append(prep)
+        errs, _, _, _ = rollout_episode(params, SPEC, GNN, ECFG,
+                                        epi["obj_pos"][b0:b1],
+                                        epi["eef_pos"][b0:b1],
+                                        ds.physics_norm[0], start=0,
+                                        dist_thresh=0.1, max_steps=100)
+        seq_errors.append(errs)
+    assert len(pushes) >= 2
+    # force different chain lengths to exercise the step_valid freeze
+    pushes[0]["T"] = max(1, pushes[0]["T"] - 1)
+    pushes[0]["eef_seq"] = pushes[0]["eef_seq"][: pushes[0]["T"]]
+    pushes[0]["gt_seq"] = pushes[0]["gt_seq"][: pushes[0]["T"]]
+    seq_errors[0] = seq_errors[0][: pushes[0]["T"]]
+
+    batched = rollout_pushes_batched(params, SPEC, GNN, ECFG, pushes,
+                                     use_fused=False)
+    assert len(batched) == len(seq_errors)
+    for b, s in zip(batched, seq_errors):
+        np.testing.assert_allclose(b, s, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_rollout_fused_interpret_matches_xla(prep_dir):
+    """The fused-forward batched evaluator (interpret mode) matches the XLA
+    batched evaluator within kernel tolerance."""
+    from adaptigraph_tpu.dynamics.dataset import DynDataset
+    from adaptigraph_tpu.dynamics.rollout import (_prepare_push,
+                                                  rollout_pushes_batched)
+
+    ds = DynDataset(prep_dir, SPEC, phase="valid",
+                    ratio={"train": [0, 0.5], "valid": [0.5, 1.0]})
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    epi = ds._episode(0)
+    prep = _prepare_push(SPEC, epi["obj_pos"], epi["eef_pos"],
+                         ds.physics_norm[0], 0.1, 4)
+    assert prep is not None
+    xla = rollout_pushes_batched(params, SPEC, GNN, ECFG, [prep], use_fused=False)
+    fused = rollout_pushes_batched(params, SPEC, GNN, ECFG, [prep],
+                                   use_fused=True, interpret=True)
+    np.testing.assert_allclose(fused[0], xla[0], rtol=1e-3, atol=1e-4)
