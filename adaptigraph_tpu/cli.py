@@ -186,7 +186,8 @@ def cmd_datagen(args):
     from adaptigraph_tpu.sim.datagen import generate
 
     bad = generate(data_dir, material, n_episodes, n_pushes=n_pushes,
-                   n_workers=n_workers, seed=seed, capture_depth=args.capture)
+                   n_workers=n_workers, seed=seed, capture_depth=args.capture,
+                   robot=args.robot)
     print(f"generated {n_episodes} episodes ({len(bad)} bad) -> {data_dir}")
 
 
@@ -483,6 +484,10 @@ def main(argv=None):
     d.add_argument("--seed", type=int)
     d.add_argument("--capture", action="store_true",
                    help="record 4-camera RGB-D observations per frame")
+    d.add_argument("--robot", action="store_true",
+                   help="execute pushes through the xArm6 IK chain with the "
+                        "tool's contact-face collision geometry (reference: "
+                        "flex_env.py:308-481 robot-in-scene data gen)")
     d.set_defaults(fn=cmd_datagen)
 
     pr = sub.add_parser("preprocess", help="episodes -> training artifacts")

@@ -19,10 +19,10 @@ MAX_RETRIES = 10  # reference: data_gen.py:77 retry budget
 
 
 def gen_episode(data_dir, material, epi_idx, n_pushes, seed,
-                capture_depth=False):
+                capture_depth=False, robot=False):
     epi_dir = os.path.join(data_dir, f"{epi_idx:06d}")
     os.makedirs(epi_dir, exist_ok=True)
-    env = PushEnv(material, seed=seed, capture_depth=capture_depth)
+    env = PushEnv(material, seed=seed, capture_depth=capture_depth, robot=robot)
     env.reset()
     fixed_mask = env.get_fixed_mask()
 
@@ -68,11 +68,14 @@ def _worker(args):
 
 
 def generate(data_dir, material, n_episodes, n_pushes=5, n_workers=1, seed=0,
-             capture_depth=False):
+             capture_depth=False, robot=False):
     """Fan episodes out over a process pool (reference: data_gen.py:215-239).
+    ``robot=True`` drives every push through the xArm6 IK chain with the
+    tool's contact-face collision geometry (reference: flex_env.py:308-481).
     Returns the list of bad episode indices (reference: bad_episodes.txt)."""
     os.makedirs(data_dir, exist_ok=True)
-    jobs = [(data_dir, material, e, n_pushes, seed + e * 997, capture_depth)
+    jobs = [(data_dir, material, e, n_pushes, seed + e * 997, capture_depth,
+             robot)
             for e in range(n_episodes)]
     if n_workers > 1:
         with mp.Pool(n_workers) as pool:

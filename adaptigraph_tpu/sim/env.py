@@ -45,14 +45,26 @@ MATERIAL_BASE_RGB = {
 
 
 class PushEnv:
+    # sim-frame (x, z) of the robot arm base and sim-units-per-meter for the
+    # robot-driven data path (reference mounts the xArm6 at the table edge,
+    # robot_env.py:19-44; sim_real_ratio 10 as in the planning configs)
+    ROBOT_BASE_XZ = (-4.5, 0.0)
+    ROBOT_RATIO = 10.0
+
     def __init__(self, material, seed=0, capture_depth=False, n_cameras=4,
-                 img_size=240):
+                 img_size=240, robot=False):
         assert material in SCENE_SAMPLERS, material
         self.material = material
         self.rng = np.random.RandomState(seed)
         self.geom = PUSHER_GEOMETRY[material]
         self.scene = None
         self.properties = None
+        # robot=True executes pushes through the xArm6 FK/IK chain with the
+        # tool's full face geometry as collision particles (reference:
+        # flex_env.py:308-481 IK waypoint loop + robot_env.py arm-in-scene)
+        self.robot = robot
+        self.arm_q = None
+        self.last_robot_trace = None
         # optional multi-view RGB-D capture per stored frame (the reference
         # records 4x 720x720 RGB-D per frame, flex_env.py:173-236; color is
         # point-splat rendered with per-instance hues, depth z-buffered)
@@ -196,12 +208,99 @@ class PushEnv:
         st[10:14] = prev[6:10] if prev is not None else st[6:10]
         return st
 
+    # ---- robot-driven push execution (reference: flex_env.py:308-481 +
+    # robot_env.py:19-107 — the arm's IK waypoints drive the tool, and the
+    # tool's full contact-face geometry collides with the scene) ----------
+
+    def _sim_to_robot(self, x, z, y):
+        bx, bz = self.ROBOT_BASE_XZ
+        r = self.ROBOT_RATIO
+        return np.array([(x - bx) / r, (z - bz) / r, y / r], np.float64)
+
+    def _robot_to_sim(self, p):
+        bx, bz = self.ROBOT_BASE_XZ
+        r = self.ROBOT_RATIO
+        return float(p[0] * r + bx), float(p[1] * r + bz), float(p[2] * r)
+
+    def _tool_collision_points(self, x, z, theta, y):
+        """Full contact-face collision geometry (board face / stick column),
+        denser than the recorded eef keypoints — the reference collides the
+        gripper/board meshes loaded into the sim (robot_env.py:19-44), not
+        just the keypoints."""
+        offs = np.asarray(self.geom["offsets"], np.float32)
+        if len(offs) > 1:  # board pusher: 2 rows of face points
+            heights = (0.0, 1.5 * self.geom["radius"])
+        else:  # stick/cylinder: a short vertical column
+            heights = (0.0, 1.2 * self.geom["radius"], 2.4 * self.geom["radius"])
+        pts = []
+        for h in heights:
+            p = np.zeros((len(offs), 3), np.float32)
+            p[:, 0] = x + offs * np.sin(theta)
+            p[:, 1] = y + h
+            p[:, 2] = z - offs * np.cos(theta)
+            pts.append(p)
+        return np.concatenate(pts, axis=0)
+
+    def _execute_push_robot(self, action):
+        """Push through the arm: IK each Cartesian waypoint (DLS, warm-
+        started), FK back to the realized eef position, and sweep the tool's
+        collision face there. Records (wp_target, fk_realized) pairs in
+        ``last_robot_trace`` so tests can assert the eef follows the IK
+        waypoints (reference: flex_env.py:308-380)."""
+        from adaptigraph_tpu.realworld.kinematics import (forward_kinematics,
+                                                          inverse_kinematics,
+                                                          push_waypoints)
+
+        x0, z0, x1, z1 = [float(v) for v in action]
+        theta = np.arctan2(z1 - z0, x1 - x0)
+        pts = self.get_positions()
+        movable = ~self.get_fixed_mask()
+        ys = pts[movable, 1] if movable.any() else pts[:, 1]
+        y = max(0.03, float(ys.min()))
+
+        total = np.hypot(x1 - x0, z1 - z0)
+        n_steps = max(2, int(total / PUSH_STEP))
+        s_r = self._sim_to_robot(x0, z0, y)
+        e_r = self._sim_to_robot(x1, z1, y)
+        wps = push_waypoints(s_r[:2], e_r[:2], height=s_r[2], n_steps=n_steps,
+                             approach_height=0.08)
+
+        q = self.arm_q
+        tool0 = self._tool_collision_points(x0, z0, theta, y + 0.8)
+        self.scene.set_tool(tool0, radius=self.geom["radius"])
+
+        frames_pos, frames_eef, frames_rgbd, trace = [], [], [], []
+        prev_state = None
+        sweep_start = 2  # wps[0:2] are the approach descent
+        for i, wp in enumerate(wps):
+            q, ok = inverse_kinematics(wp, q0=q)
+            fk = forward_kinematics(q)[:3, 3]
+            trace.append((wp.copy(), fk.copy()))
+            sx, sz, sy = self._robot_to_sim(fk)
+            self.scene.step(self._tool_collision_points(sx, sz, theta, sy))
+            s = i - sweep_start
+            in_sweep = 0 <= s < n_steps - 1
+            if in_sweep and (s % FRAME_EVERY == 0 or s == n_steps - 2):
+                frames_pos.append(self.get_positions())
+                st = self._eef_state(sx, sz, theta, sy, prev_state)
+                prev_state = st
+                frames_eef.append(st[None])
+                if self.cameras is not None:
+                    frames_rgbd.append(self._render_views(frames_pos[-1]))
+        self.arm_q = q
+        self.last_robot_trace = (np.asarray([t[0] for t in trace]),
+                                 np.asarray([t[1] for t in trace]))
+        self._store_rgbd(frames_rgbd)
+        return np.asarray(frames_pos), np.asarray(frames_eef)
+
     def execute_push(self, action):
         """Run one push, capturing frames every FRAME_EVERY sim steps
         (reference: flex_env.py:308-481 contact-gated capture loop).
 
         Returns (positions (T, N, 3), eef_states (T, 1, 14)).
         """
+        if self.robot:
+            return self._execute_push_robot(action)
         x0, z0, x1, z1 = [float(v) for v in action]
         theta = np.arctan2(z1 - z0, x1 - x0)
         pts = self.get_positions()

@@ -493,3 +493,41 @@ def test_rigid_debris_material():
     assert np.isfinite(pos).all()
     assert np.abs(pos[-1] - p0).mean() > 1e-3
     assert eef.shape[1] == 1 and eef.shape[2] == 14
+
+
+def test_robot_driven_push_follows_ik_waypoints():
+    """datagen --robot (reference: flex_env.py:308-481 + robot_env.py): the
+    push executes through the xArm6 IK chain — the realized FK eef trace
+    must track the Cartesian waypoints, the tool's contact face must move
+    the object, and the recorded eef states must be the FK positions."""
+    from adaptigraph_tpu.sim.env import PushEnv
+
+    env = PushEnv("rope", seed=0, robot=True)
+    env.reset()
+    before = env.get_positions()
+    pos, eef = env.execute_push(np.array([-1.2, 0.0, 0.6, 0.2], np.float32))
+    assert np.isfinite(pos).all()
+    assert env.push_moved_object(before, pos)
+
+    wp, fk = env.last_robot_trace
+    # DLS IK converges to sub-mm on every waypoint (robot frame, meters)
+    assert np.linalg.norm(wp - fk, axis=1).max() < 1e-3
+    # recorded eef positions are realized FK positions mapped back to sim
+    fk_sim = np.stack([env._robot_to_sim(p) for p in fk])  # (W, 3) x,z,y
+    eef_xyz = eef[:, 0, 0:3]  # [x, y, z]
+    for e in eef_xyz:
+        d = np.linalg.norm(fk_sim - np.array([e[0], e[2], e[1]]), axis=1)
+        assert d.min() < 1e-2
+    # arm warm start persists across pushes
+    assert env.arm_q is not None
+
+
+def test_robot_datagen_episode(tmp_path):
+    """One --robot episode end-to-end: h5 schema intact, preprocessable."""
+    from adaptigraph_tpu.sim.datagen import gen_episode
+
+    epi, n, bad = gen_episode(str(tmp_path), "rope", 0, n_pushes=1, seed=0,
+                              robot=True)
+    assert not bad and n == 1
+    import os
+    assert os.path.exists(tmp_path / "000000" / "01.h5")
