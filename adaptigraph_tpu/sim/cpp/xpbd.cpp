@@ -34,15 +34,21 @@ void Sim::add_distance(int i, int j, float compliance) {
 
 void Sim::build_hash(float cell) {
   const int N = n();
-  hash_heads_.assign(4096, -1);
+  // bucket count scales with the particle count (next pow2 >= 2N, floor
+  // 4096) so load factor stays ~0.5 as scenes grow instead of degrading
+  // into long chains at a fixed table size
+  uint32_t hs = 4096;
+  while (hs < (uint32_t)(2 * N) && hs < (1u << 20)) hs <<= 1;
+  hash_heads_.assign(hs, -1);
   hash_next_.assign(N, -1);
+  const uint32_t mask = hs - 1;
   for (int i = 0; i < N; ++i) {
     int cx = (int)std::floor(pos[i].x / cell);
     int cy = (int)std::floor(pos[i].y / cell);
     int cz = (int)std::floor(pos[i].z / cell);
     uint32_t h = ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
-                  (uint32_t)(cz * 283923481)) %
-                 4096u;
+                  (uint32_t)(cz * 283923481)) &
+                 mask;
     hash_next_[i] = hash_heads_[h];
     hash_heads_[h] = i;
   }
@@ -53,6 +59,7 @@ void Sim::solve_contacts() {
   const float r = params.particle_radius * params.contact_radius_scale;
   const float cell = r;
   build_hash(cell);
+  const uint32_t hmask = (uint32_t)hash_heads_.size() - 1;
   for (int i = 0; i < N; ++i) {
     if (inv_mass[i] == 0) continue;
     int cx0 = (int)std::floor((pos[i].x - r) / cell);
@@ -65,8 +72,8 @@ void Sim::solve_contacts() {
       for (int cy = cy0; cy <= cy1; ++cy)
         for (int cz = cz0; cz <= cz1; ++cz) {
           uint32_t h = ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
-                        (uint32_t)(cz * 283923481)) %
-                       4096u;
+                        (uint32_t)(cz * 283923481)) &
+                       hmask;
           for (int j = hash_heads_[h]; j >= 0; j = hash_next_[j]) {
             if (j <= i) continue;
             Vec3 d = sub(pos[i], pos[j]);
@@ -211,9 +218,10 @@ void Sim::solve_fluid() {
   const float spiky = -45.0f / (3.14159265f * std::pow(hR, 6.0f));
   build_hash(hR);
   std::vector<float> lambda(nf, 0.0f);
-  auto cell_hash = [](int cx, int cy, int cz) {
+  const uint32_t hmask = (uint32_t)hash_heads_.size() - 1;
+  auto cell_hash = [hmask](int cx, int cy, int cz) {
     return ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
-            (uint32_t)(cz * 283923481)) % 4096u;
+            (uint32_t)(cz * 283923481)) & hmask;
   };
 #pragma omp parallel for
   for (int fi = 0; fi < nf; ++fi) {
@@ -278,9 +286,10 @@ void Sim::apply_xsph(float h) {
   const float h2 = hR * hR;
   const float poly6 = 315.0f / (64.0f * 3.14159265f * std::pow(hR, 9.0f));
   build_hash(hR);
-  auto cell_hash = [](int cx, int cy, int cz) {
+  const uint32_t hmask = (uint32_t)hash_heads_.size() - 1;
+  auto cell_hash = [hmask](int cx, int cy, int cz) {
     return ((uint32_t)(cx * 92837111) ^ (uint32_t)(cy * 689287499) ^
-            (uint32_t)(cz * 283923481)) % 4096u;
+            (uint32_t)(cz * 283923481)) & hmask;
   };
   std::vector<Vec3> dv(nf, Vec3{0, 0, 0});
 #pragma omp parallel for
