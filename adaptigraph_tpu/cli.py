@@ -321,6 +321,8 @@ def cmd_plan(args):
     tcfg, config = _task_objects(task)
     if args.n_actions:
         tcfg.n_actions = args.n_actions
+    if args.verify:
+        tcfg.verify_improvement = True
     if args.n_sample or args.n_sample_chunk:
         import dataclasses
 
@@ -382,8 +384,13 @@ def cmd_plan(args):
 
             n_chunks = tcfg.mcfg.n_sample // tcfg.mcfg.n_sample_chunk
             if n_chunks % n_dev:
+                if tcfg.mcfg.n_sample % n_dev:
+                    raise SystemExit(
+                        f"n_sample={tcfg.mcfg.n_sample} must be divisible by "
+                        f"the device count ({n_dev}) for --mesh; adjust "
+                        "n_sample or n_sample_chunk in the task config")
                 chunk = tcfg.mcfg.n_sample // (n_dev * max(1, n_chunks // n_dev))
-                while tcfg.mcfg.n_sample % (chunk * n_dev):
+                while chunk > 1 and tcfg.mcfg.n_sample % (chunk * n_dev):
                     chunk -= 1
                 tcfg.mcfg = _dc.replace(tcfg.mcfg, n_sample_chunk=chunk)
     hist = run_plan(env, params, tcfg, target, pm=pm, save_dir=args.save_dir,
@@ -549,6 +556,10 @@ def main(argv=None):
     pl.add_argument("--n_sample_chunk", type=int)
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--no_ppo", action="store_true")
+    pl.add_argument("--verify", action="store_true",
+                    help="only execute pushes whose predicted outcome "
+                         "improves on the current error (end-game guard; "
+                         "re-solves then stops when converged)")
     pl.add_argument("--resume", action="store_true",
                     help="continue from saved step_*.npz in --save_dir "
                          "(reference: plan.py --resume)")

@@ -404,7 +404,9 @@ def train(
         params = init_params(k0, gnn_cfg)
     optimizer = optax.adam(hyper.lr)
     opt_state = optimizer.init(params)
+    start_epoch = 0
     if resume:
+        import json as _json
         import os as _os
 
         lp = ckpt.latest_name(out_dir)
@@ -416,7 +418,20 @@ def train(
                 opt_state = jax.tree_util.tree_unflatten(
                     jax.tree_util.tree_structure(opt_state),
                     jax.tree_util.tree_leaves(restored))
-            print(f"resumed from {lp}")
+            # continue the epoch numbering so resumed runs extend (rather
+            # than restart and clobber) the metrics log and the epoch-tagged
+            # checkpoint series; n_epochs means "this many MORE epochs"
+            mfile = _os.path.join(out_dir, "metrics.jsonl")
+            if _os.path.exists(mfile):
+                with open(mfile) as f:
+                    for line in f:
+                        try:
+                            rec = _json.loads(line)
+                        except ValueError:
+                            continue
+                        if rec.get("tag") == "epoch":
+                            start_epoch = max(start_epoch, rec["step"] + 1)
+            print(f"resumed from {lp} at epoch {start_epoch}")
 
     # multi-chip: the whole step runs inside shard_map (batch split, grads
     # pmean'd), so the fused Pallas custom-VJP launches per-device and
@@ -458,7 +473,7 @@ def train(
     curves = {"train": [], "valid": []}
     n_calls_train = max(1, hyper.n_iters_train // K)
     n_calls_valid = max(1, hyper.n_iters_valid // KV)
-    for epoch in range(hyper.n_epochs):
+    for epoch in range(start_epoch, start_epoch + hyper.n_epochs):
         t0 = time.time()
         losses = []
         for it in range(n_calls_train):

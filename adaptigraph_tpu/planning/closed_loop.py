@@ -73,10 +73,12 @@ class TaskConfig:
     # end-game guard (reference analog: planner.py:262-277 rollout_best
     # re-verification): only execute a push whose PREDICTED final error
     # improves on the current error; re-solve with a fresh key up to
-    # verify_retries times, and stop the loop when no improving push exists
-    # while the error already sits at its best — prevents late-step
-    # regressions (VERDICT r1 "weak" #6)
-    verify_improvement: bool = True
+    # verify_retries times (each retry resamples uniformly over the full
+    # action box), and stop the loop when no improving push exists while the
+    # error already sits at its best — prevents late-step regressions
+    # (VERDICT r1 "weak" #6). Opt-in (plan --verify): the default matches the
+    # reference plan.py loop, which always executes the best sampled push.
+    verify_improvement: bool = False
     verify_retries: int = 2
     min_pred_improvement: float = 0.0
     converge_tolerance: float = 0.02
@@ -242,7 +244,9 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                 if verbose:
                     print(f"step {i}: converged (cur {cur_err:.4f}, predicted "
                           f"{pred_err:.4f} would not improve) — stopping")
-                history["errors"].append(cur_err)
+                # recorded separately: history["errors"] holds only post-push
+                # errors aligned 1:1 with history["actions"] / step_*.npz
+                history["converged_error"] = cur_err
                 break
         best_act = np.asarray(res["act_seq"])
         act_seq = res["mppi_seq"]  # receding-horizon warm start (plan.py:263-272)

@@ -149,7 +149,12 @@ class GroundedSAMMask:
         if self._detector is None:
             self._detector = self._load_detector()
         boxes, scores, labels = self._detector(rgb)
-        keep = np.asarray(scores, np.float32) >= self.box_threshold
+        # the reference gates twice: box logits vs box_threshold and label
+        # token scores vs text_threshold (perception.py:86-107). The
+        # transformers zero-shot pipeline yields one per-(box, label) score,
+        # so both thresholds apply to it — the effective gate is their max.
+        keep = (np.asarray(scores, np.float32)
+                >= max(self.box_threshold, self.text_threshold))
         return (np.asarray(boxes, np.float32).reshape(-1, 4)[keep],
                 np.asarray(scores, np.float32)[keep],
                 [l for l, k in zip(labels, keep) if k])
