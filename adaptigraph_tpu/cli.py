@@ -263,9 +263,9 @@ def cmd_train(args):
     else:
         from adaptigraph_tpu.dynamics.dataset import PackedDataset
 
-        tr = BatchLoader(PackedDataset(prep_dir, spec, "train", ratio),
+        tr = BatchLoader(PackedDataset(prep_dir, spec, "train", ratio, compact=True),
                          hyper.batch_size, stack_steps=K)
-        va = BatchLoader(PackedDataset(prep_dir, spec, "valid", ratio),
+        va = BatchLoader(PackedDataset(prep_dir, spec, "valid", ratio, compact=True),
                          hyper.batch_size, stack_steps=K)
 
     mesh = None

@@ -309,12 +309,15 @@ def rollout_pushes_batched(params, spec, gnn_cfg, edge_cfg, pushes,
     to each push's own chain length)."""
     if not pushes:
         return []
+    B = len(pushes)
     if use_fused is None:
         from adaptigraph_tpu.ops.fused_gnn import _supports
 
-        use_fused = (jax.default_backend() == "tpu" and _supports(gnn_cfg)
-                     and gnn_cfg.state_dim == 0)
-    B = len(pushes)
+        # the fused kernel is tuned for MPPI-chunk batches (~2000 samples);
+        # at evaluator-sized batches the XLA batched forward is faster
+        # (VERDICT r2 weak #2 — see scripts/diag_batched.py)
+        use_fused = (B >= 256 and jax.default_backend() == "tpu"
+                     and _supports(gnn_cfg) and gnn_cfg.state_dim == 0)
     Tmax = max(p["T"] for p in pushes)
     Tb = 1
     while Tb < Tmax:

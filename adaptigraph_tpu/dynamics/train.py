@@ -50,6 +50,51 @@ class TrainHyper:
     seed: int = 42
 
 
+def expand_compact_batch(batch, gnn_cfg: GNNConfig):
+    """Reconstruct the full batch dict from a compact one on device.
+
+    Compact batches (``PackedDataset.make_batch(compact=True)``) ship only
+    the nonzero payloads across the host->device boundary — eef keypoints
+    ``(B, n_eef, 3)`` instead of full-node zero-padded ``(B, N, 3)`` arrays,
+    and one bool ``obj_mask`` instead of the attrs/p_instance/masks derived
+    from it — ~45% fewer bytes per superbatch at rope scale. The expansion
+    here is a handful of scatters XLA fuses into the step; numerics are
+    identical to the full batch (tested in test_fast_loader.py)."""
+    if "action_eef" not in batch:
+        return batch
+    No, N = gnn_cfg.max_nobj, gnn_cfg.n_nodes
+    obj_mask = batch["obj_mask"]
+    B = obj_mask.shape[0]
+    f = obj_mask.astype(jnp.float32)
+    nf1 = batch["eef_future_kp"].shape[1]
+
+    action = jnp.zeros((B, N, 3), jnp.float32).at[:, No:].set(batch["action_eef"])
+    eef_future = jnp.zeros((B, nf1, N, 3), jnp.float32).at[:, :, No:].set(
+        batch["eef_future_kp"])
+    action_future = jnp.zeros((B, nf1, N, 3), jnp.float32).at[:, :, No:].set(
+        batch["action_future_kp"])
+    attrs = jnp.zeros((B, N, 2), jnp.float32).at[:, :No, 0].set(f).at[:, No:, 1].set(1.0)
+    eef_cols = jnp.arange(N) >= No
+    state_mask = jnp.where(eef_cols[None], True,
+                           jnp.pad(obj_mask, ((0, 0), (0, N - No))))
+    eef_mask = jnp.broadcast_to(eef_cols[None], (B, N))
+    return {
+        "state": batch["state"],
+        "action": action,
+        "eef_future": eef_future,
+        "action_future": action_future,
+        "state_future": batch["state_future"],
+        "attrs": attrs,
+        "p_instance": f[:, :, None],
+        "state_mask": state_mask,
+        "eef_mask": eef_mask,
+        "obj_mask": obj_mask,
+        "physics_param": batch["physics_param"],
+        "adj_thresh": batch["adj_thresh"],
+        "knn_frac": batch["knn_frac"],
+    }
+
+
 def _augment(batch, key, state_noise, phys_noise, use_rotation):
     """On-device data augmentation (reference: dataset.py:260-285):
     uniform state noise on the history, a shared random rotation
@@ -199,6 +244,7 @@ def _step_fns(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer, fused_fn, mesh, a
     VERDICT r1 "weak" #1)."""
 
     def one_step(params, opt_state, batch, key):
+        batch = expand_compact_batch(batch, gnn_cfg)
         if mesh is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
 
@@ -219,6 +265,7 @@ def _step_fns(gnn_cfg, edge_cfg, hyper: TrainHyper, optimizer, fused_fn, mesh, a
         return params, opt_state, loss
 
     def one_eval(params, batch, key):
+        batch = expand_compact_batch(batch, gnn_cfg)
         if mesh is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         b = _augment(batch, key, hyper.state_noise_valid, hyper.phys_noise_valid,

@@ -425,11 +425,21 @@ void Sim::step(const Vec3* tool_target, int n_tool) {
       solve_ground(h);
       lap(5);
     }
-    // velocity update
+    // velocity update; clamp to max_speed (FleX g_params.maxSpeed analog —
+    // position-level tool/contact projection can eject deeply-penetrated
+    // particles a full radius in one substep, which unclamped becomes a
+    // huge velocity and a multi-unit frictionless glide) and put slow
+    // particles to sleep (FleX sleepThreshold, by_granular.h:80 — piles
+    // must come to rest instead of creeping)
+    const float vmax = params.max_speed;
+    const float vsleep2 = params.sleep_threshold * params.sleep_threshold;
 #pragma omp parallel for
     for (int i = 0; i < N; ++i) {
       if (inv_mass[i] == 0) continue;
       vel[i] = mul(sub(pos[i], prev[i]), 1.0f / h);
+      float v2 = dot(vel[i], vel[i]);
+      if (v2 > vmax * vmax) vel[i] = mul(vel[i], vmax / std::sqrt(v2));
+      else if (v2 < vsleep2) vel[i] = Vec3{};
     }
     apply_xsph(h);
     lap(6);
@@ -487,6 +497,14 @@ Sim* make_granular(const float* p, int np_, uint64_t seed) {
   // grains need strong velocity damping as a stand-in for rolling
   // resistance, else piles never stop sliding on the frictionless-ish plane
   s->params.damping = 4.0f;
+  // the tool sweeps at ~1.2 units/s (env.PUSH_STEP/dt); grains it shoves
+  // may not exceed ~1.25x that, and near-rest grains sleep (the reference
+  // runs 12 substeps + sleepThreshold, by_granular.h:74-80 — without these
+  // a tool-overlap ejection sends grains gliding for multiple units, which
+  // dominated the r2 training loss; see scripts/diag_granular_data.py)
+  s->params.max_speed = 1.5f;
+  s->params.sleep_threshold = 0.02f;
+  s->params.substeps = 8;
   std::mt19937_64 rng(seed);
   // non-overlapping jittered grid spawn (overlapping spawns explode under
   // position-based contact projection); layers stack upward until num grains
@@ -518,6 +536,8 @@ Sim* make_cloth(const float* p, int np_, uint64_t seed) {
   auto* s = new Sim();
   s->params.dynamic_friction = friction;
   s->params.particle_radius = spacing * 0.4f;
+  s->params.max_speed = 2.0f;  // no whip-crack ejections (r2 audit: 1% of
+                               // frames had >0.5-unit single-frame jumps)
   auto idx = [nx](int i, int j) { return j * nx + i; };
   for (int j = 0; j < nz; ++j)
     for (int i = 0; i < nx; ++i)
@@ -601,6 +621,12 @@ Sim* make_multiobj(const float* p, int np_, uint64_t seed) {
   s->params.particle_radius = 0.45f * scale;
   s->params.contact_radius_scale = 2.0f;
   s->params.damping = 2.0f;
+  // debris bodies shoved by the pusher must not be launched into glides
+  // (same pathology as granular; reference by_multi_objects.h runs deep
+  // substeps with restitution 0)
+  s->params.max_speed = 1.5f;
+  s->params.sleep_threshold = 0.02f;
+  s->params.substeps = 8;
   std::mt19937_64 rng(seed);
   std::uniform_real_distribution<float> U(-area_r, area_r);
   std::uniform_int_distribution<int> S3(2, 3);
@@ -643,6 +669,10 @@ Sim* make_bunnybath(const float* p, int np_, uint64_t seed) {
   s->params.particle_radius = spacing * 0.5f;
   s->params.damping = 0.5f;
   s->params.iterations = 4;
+  // cap splash velocities: the PBF density projection can eject a particle
+  // a full kernel radius in one substep, which unclamped became 14-unit
+  // teleports in the r2 dataset (scripts/diag_granular_data.py audit)
+  s->params.max_speed = 3.0f;
   s->fluid_h = spacing * 2.2f;
   s->fluid_viscosity = viscosity;
   s->has_walls = true;

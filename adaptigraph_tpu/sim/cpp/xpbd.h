@@ -49,6 +49,11 @@ struct Params {
   float dynamic_friction = 0.3f;
   float damping = 0.1f;   // global velocity damping per second
   float tool_radius = 0.06f;
+  // FleX analogs (NvFlexParams maxSpeed / sleepThreshold): cap post-solve
+  // particle speed (projection ejections would otherwise become multi-unit
+  // glides) and zero near-rest velocities so piles settle
+  float max_speed = 1e9f;
+  float sleep_threshold = 0.0f;
 };
 
 class Sim {

@@ -225,7 +225,8 @@ def bench_train(n_calls=4, K=20, B=128):
         preprocess(td + "/sim", td + "/prep", SYNTH_EEF_OFFSETS, n_his=4, n_future=3,
                    dist_thresh=0.1, phys_param_specs=phys)
         ds = PackedDataset(td + "/prep", spec, phase="train",
-                           ratio={"train": [0, 1.0], "valid": [0, 1.0]})
+                           ratio={"train": [0, 1.0], "valid": [0, 1.0]},
+                           compact=True)
         loader = BatchLoader(ds, batch_size=B, seed=1, stack_steps=K, prefetch=3)
         hyper = train_mod.TrainHyper(n_future=3, state_noise_train=0.01)
         params = init_params(jax.random.PRNGKey(0), GNN)

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 import adaptigraph_tpu.dynamics.graphs as graphs_mod
 import adaptigraph_tpu.ops.fps as fps_mod
@@ -85,6 +86,43 @@ def test_packed_matches_assemble_sample(prep_dir, monkeypatch):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=0, rtol=0,
                                    err_msg=f"field {k}")
+
+
+def test_compact_batch_expands_to_full(prep_dir):
+    """compact=True ships eef keypoints + obj_mask only; on-device expansion
+    (train.expand_compact_batch) must reproduce the full batch field-for-
+    field, and the train step must produce an identical loss from either."""
+    import optax
+
+    ratio = {"train": [0, 1.0], "valid": [0, 1.0]}
+    full = PackedDataset(prep_dir, SPEC, phase="train", ratio=ratio,
+                         n_fps_variants=1)
+    comp = PackedDataset(prep_dir, SPEC, phase="train", ratio=ratio,
+                         n_fps_variants=1, compact=True)
+    idxs = np.asarray([0, 2, 4, len(full) - 1])
+    want = full.make_batch(idxs, _MidRng())
+    got_c = comp.make_batch(idxs, _MidRng())
+    gnn = GNNConfig(n_his=4, max_nobj=SPEC.max_nobj, max_neef=1,
+                    nf_particle=16, nf_relation=16, nf_effect=16, pstep=2)
+    got = {k: np.asarray(v)
+           for k, v in train_mod.expand_compact_batch(got_c, gnn).items()}
+    assert set(want) <= set(got)
+    for k in want:
+        np.testing.assert_array_equal(got[k], np.asarray(want[k]),
+                                      err_msg=f"field {k}")
+
+    edge = EdgeConfig(max_nobj=SPEC.max_nobj, max_neef=1, topk=10)
+    hyper = train_mod.TrainHyper(n_future=3, state_noise_train=0.01)
+    opt = optax.adam(1e-3)
+    params = init_params(jax.random.PRNGKey(0), gnn)
+    step = train_mod.make_train_step(gnn, edge, hyper, opt)
+    key = jax.random.PRNGKey(1)
+    # the step donates params/opt_state — give each call its own copy
+    p1 = jax.tree_util.tree_map(jnp.array, params)
+    p2 = jax.tree_util.tree_map(jnp.array, params)
+    _, _, loss_full = step(p1, opt.init(p1), want, key)
+    _, _, loss_comp = step(p2, opt.init(p2), got_c, key)
+    np.testing.assert_allclose(float(loss_full), float(loss_comp), rtol=0, atol=0)
 
 
 def test_packed_real_fps_valid(prep_dir):
