@@ -515,6 +515,9 @@ def train(
     else:
         put_fn = jax.device_put
     train_stage = DevicePrefetcher(train_loader, put_fn)
+    valid_put = (lambda b: shard_batch(b, mesh, batch_axis=1 if KV > 1 else 0)) \
+        if mesh is not None else jax.device_put
+    valid_stage = DevicePrefetcher(valid_loader, valid_put)
 
     metrics = MetricsLogger(out_dir)
     curves = {"train": [], "valid": []}
@@ -540,9 +543,7 @@ def train(
 
         vlosses = []
         for it in range(n_calls_valid):
-            batch = next(valid_loader)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh, batch_axis=1 if KV > 1 else 0)
+            batch = next(valid_stage)
             key, k = jax.random.split(key)
             if KV > 1:
                 vlosses.append(float(jnp.mean(eval_step(params, batch, jax.random.split(k, KV)))))
@@ -560,6 +561,7 @@ def train(
             f"({time.time() - t0:.1f}s)"
         )
     train_stage.close()
+    valid_stage.close()
     metrics.close()
     return params, curves
 
