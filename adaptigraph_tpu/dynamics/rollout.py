@@ -311,13 +311,12 @@ def rollout_pushes_batched(params, spec, gnn_cfg, edge_cfg, pushes,
         return []
     B = len(pushes)
     if use_fused is None:
-        from adaptigraph_tpu.ops.fused_gnn import _supports
-
-        # the fused kernel is tuned for MPPI-chunk batches (~2000 samples);
-        # at evaluator-sized batches the XLA batched forward is faster
-        # (VERDICT r2 weak #2 — see scripts/diag_batched.py)
-        use_fused = (B >= 256 and jax.default_backend() == "tpu"
-                     and _supports(gnn_cfg) and gnn_cfg.state_dim == 0)
+        # the fused kernel wins only inside the MPPI whole-substep-loop
+        # context (fused_rollout_chunk); for the evaluator's per-step scan
+        # the XLA batched forward is faster at every measured batch size
+        # (B=16: 13.4 vs 16.3 us/step, B=256: 4.6 vs 15.9 — TPU v5e,
+        # scripts/diag_batched.py, VERDICT r2 weak #2)
+        use_fused = False
     Tmax = max(p["T"] for p in pushes)
     Tb = 1
     while Tb < Tmax:
