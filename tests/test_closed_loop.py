@@ -126,7 +126,9 @@ def test_plan_improvement_gate_stops_regression(tmp_path):
     params = init_params(jax.random.PRNGKey(0), GNN)
     # target == current state: every push can only regress
     target = env.get_particles_sim().copy()
-    task = make_task(verify_retries=1, converge_tolerance=1e9)
+    # the gate is opt-in (reference-parity default is off, ADVICE r2)
+    task = make_task(verify_improvement=True, verify_retries=1,
+                     converge_tolerance=1e9)
     task.n_actions = 4
     hist = run_plan(env, params, task, target, save_dir=str(tmp_path), seed=0,
                     use_ppo=False, verbose=False)
