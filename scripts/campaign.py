@@ -42,7 +42,7 @@ TRAIN_PLAN = [
     ("rope_robot", 50, 2400),  # robot-driven dataset (VERDICT item 5)
     ("softbody", 12, 3300),
 ]
-MAX_ATTEMPTS = 6
+MAX_ATTEMPTS = 12
 
 QUALITY = os.path.join("runs", "quality.jsonl")
 
@@ -61,25 +61,54 @@ def left():
     return DEADLINE_S - (time.time() - T0)
 
 
-def run(cmd, timeout, log):
+def run(cmd, timeout, log, stall_timeout=420):
+    """Run with BOTH a hard timeout and a log-growth watchdog: a wedged
+    tunnel freezes the child silently (no output, ~0 CPU), and waiting out
+    the hard timeout wastes 30+ min per wedge. If the child's log stops
+    growing for stall_timeout seconds, kill its process group and report
+    "stalled" (first-compile silences run 270-300 s, so 420 s is safe)."""
+    import signal
+
     note(f"run: {' '.join(cmd)} (timeout {timeout:.0f}s)")
     with open(log, "a") as f:
         f.write(f"\n=== {' '.join(cmd)} @+{time.time() - T0:.0f}s ===\n")
         f.flush()
-        try:
-            p = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                               timeout=timeout)
-            return p.returncode
-        except subprocess.TimeoutExpired:
-            f.write("\n=== TIMEOUT ===\n")
-            return "timeout"
+        p = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                             start_new_session=True)
+        t_start = last_change = time.time()
+        last_size = os.path.getsize(log)
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                return rc
+            now = time.time()
+            sz = os.path.getsize(log)
+            if sz != last_size:
+                last_size, last_change = sz, now
+            verdict = None
+            if now - t_start > timeout:
+                verdict = "timeout"
+            elif now - last_change > stall_timeout:
+                verdict = "stalled"
+            if verdict:
+                f.write(f"\n=== {verdict.upper()} (killed by watchdog) ===\n")
+                f.flush()
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except OSError:
+                    p.kill()
+                p.wait()
+                return verdict
+            time.sleep(10)
 
 
 def tpu_healthy():
     code = ("import jax, jax.numpy as jnp; "
             "print(float(jnp.ones((64,64)).sum()))")
     try:
-        p = subprocess.run([sys.executable, "-c", code], timeout=300,
+        # the tunnel's first op from a fresh client can take 4-5 min when it
+        # is waking from a wedge; a short probe timeout misreads that as down
+        p = subprocess.run([sys.executable, "-c", code], timeout=600,
                            capture_output=True)
         return p.returncode == 0
     except subprocess.TimeoutExpired:
@@ -162,7 +191,7 @@ def train_material(mat, target_epochs, attempt_timeout):
             cmd += ["--resume"]
         rc = run(cmd, min(attempt_timeout, max(left(), 60)), log)
         note(f"train {mat} attempt {attempt}: rc={rc}")
-        if rc == "timeout":
+        if rc in ("timeout", "stalled"):
             # a timeout-killed client can leave the tunnel wedged; cool down
             # before the next health probe so it can recover
             time.sleep(120)

@@ -23,7 +23,7 @@ python -m adaptigraph_tpu datagen --config rope --data_dir data/sim/rope_robot \
 
 # verify counts before preprocessing
 for m in $MATERIALS rope_robot; do
-  n=$(ls -d data/sim/$m/episode_* 2>/dev/null | wc -l)
+  n=$(ls -d data/sim/$m/[0-9]* 2>/dev/null | wc -l)
   if [ "$n" -lt 95 ]; then echo "VERIFY FAIL: $m has $n/100 episodes"; FAIL=1;
   else echo "verify $m: $n episodes"; fi
 done

@@ -7,7 +7,7 @@ PENDING="granular cloth softbody multiobj bunnybath"
 for i in $(seq 1 200); do
   left=""
   for m in $PENDING; do
-    n=$(ls -d data/sim/$m/episode_* 2>/dev/null | wc -l)
+    n=$(ls -d data/sim/$m/[0-9]* 2>/dev/null | wc -l)
     if [ "$n" -ge 100 ] && [ ! -e "data/prep/$m/.done" ]; then
       echo "prep $m ($(date +%T))"
       nice -n 10 python -m adaptigraph_tpu preprocess --config "$m" \
@@ -17,7 +17,7 @@ for i in $(seq 1 200); do
     fi
   done
   # rope_robot last (generated after the six materials)
-  n=$(ls -d data/sim/rope_robot/episode_* 2>/dev/null | wc -l)
+  n=$(ls -d data/sim/rope_robot/[0-9]* 2>/dev/null | wc -l)
   if [ "$n" -ge 100 ] && [ ! -e "data/prep/rope_robot/.done" ]; then
     echo "prep rope_robot ($(date +%T))"
     nice -n 10 python -m adaptigraph_tpu preprocess --config rope \
