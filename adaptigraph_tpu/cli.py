@@ -18,6 +18,7 @@ subcommands::
 """
 
 import argparse
+import json
 import os
 
 import numpy as np
@@ -296,7 +297,19 @@ def cmd_rollout(args):
         from adaptigraph_tpu.utils.viz import plot_error_curves
 
         plot_error_curves(stats, os.path.join(roll_dir, "error_median_iqr.png"))
-    print(f"rollout: {len(stats.get('per_push', []))} pushes, "
+    # machine-readable aggregate for campaign drivers / README tables
+    # (reference analog: the median/IQR aggregate plot, rollout.py:438-467)
+    per_push = stats.get("per_push", [])
+    summary = {
+        "n_pushes": len(per_push),
+        "median_last_step": float(med[-1]) if len(med) else None,
+        "median_mean": float(np.mean(med)) if len(med) else None,
+        "push_final_median": (float(np.median([e[-1] for e in per_push if len(e)]))
+                              if per_push else None),
+    }
+    with open(os.path.join(roll_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    print(f"rollout: {len(per_push)} pushes, "
           f"median error @last step {med[-1] if len(med) else float('nan'):.5f}")
 
 
@@ -604,6 +617,20 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     args.fn(args)
+    # On the remote-TPU (axon) backend, interpreter/C++ teardown aborts in
+    # static destructors AND leaves the tunnel terminal wedged for the next
+    # client (observed: every wedge this round followed a client exit; same
+    # signature as the BENCH_r02 rc=134 crash). All command outputs are
+    # flushed to disk by this point, so skip teardown entirely — the exact
+    # workaround bench.py uses. Env-gated (not jax.default_backend(), which
+    # reports "tpu" for axon, and importing jax here would newly dial the
+    # tunnel from jax-free subcommands like datagen).
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        import sys
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":

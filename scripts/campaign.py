@@ -61,7 +61,7 @@ def left():
     return DEADLINE_S - (time.time() - T0)
 
 
-def run(cmd, timeout, log, stall_timeout=420):
+def run(cmd, timeout, log, stall_timeout=420, env=None):
     """Run with BOTH a hard timeout and a log-growth watchdog: a wedged
     tunnel freezes the child silently (no output, ~0 CPU), and waiting out
     the hard timeout wastes 30+ min per wedge. If the child's log stops
@@ -74,7 +74,7 @@ def run(cmd, timeout, log, stall_timeout=420):
         f.write(f"\n=== {' '.join(cmd)} @+{time.time() - T0:.0f}s ===\n")
         f.flush()
         p = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
-                             start_new_session=True)
+                             start_new_session=True, env=env)
         t_start = last_change = time.time()
         last_size = os.path.getsize(log)
         while True:
@@ -103,8 +103,12 @@ def run(cmd, timeout, log, stall_timeout=420):
 
 
 def tpu_healthy():
-    code = ("import jax, jax.numpy as jnp; "
-            "print(float(jnp.ones((64,64)).sum()))")
+    # os._exit: the axon client's teardown can abort AND wedge the terminal
+    # for the next client (see cli.py main) — a health probe must not itself
+    # poison the tunnel it is probing
+    code = ("import jax, jax.numpy as jnp, os, sys; "
+            "print(float(jnp.ones((64,64)).sum())); "
+            "sys.stdout.flush(); os._exit(0)")
     try:
         # the tunnel's first op from a fresh client can take 4-5 min when it
         # is waking from a wedge; a short probe timeout misreads that as down
@@ -165,6 +169,7 @@ def train_material(mat, target_epochs, attempt_timeout):
         note(f"train {mat}: prep data never appeared, skipping")
         record({"stage": "train", "material": mat, "status": "no_data"})
         return False
+    stalls = 0
     for attempt in range(MAX_ATTEMPTS):
         done, last_valid = epochs_done(out_dir)
         if done >= target_epochs:
@@ -189,8 +194,21 @@ def train_material(mat, target_epochs, attempt_timeout):
             cmd += ["--prep_dir", "data/prep/rope_robot"]
         if done > 0 or attempt > 0:
             cmd += ["--resume"]
-        rc = run(cmd, min(attempt_timeout, max(left(), 60)), log)
+        env = dict(os.environ)
+        if stalls >= 2:
+            # repeated silent stalls usually mean the fused-kernel remote
+            # compile is running unbounded (observed 10-40+ min); fall back
+            # to the XLA train path, which compiles in a couple of minutes
+            env["ADAPTIGRAPH_NO_FUSED_TRAIN"] = "1"
+            note(f"train {mat}: falling back to the XLA train path "
+                 f"after {stalls} stalled attempts")
+        # long stall window: epoch lines are silent through the first
+        # compile, which can legitimately run many minutes remotely
+        rc = run(cmd, min(attempt_timeout, max(left(), 60)), log, env=env,
+                 stall_timeout=900)
         note(f"train {mat} attempt {attempt}: rc={rc}")
+        new_done, _ = epochs_done(out_dir)
+        stalls = stalls + 1 if (rc == "stalled" and new_done <= done) else 0
         if rc in ("timeout", "stalled"):
             # a timeout-killed client can leave the tunnel wedged; cool down
             # before the next health probe so it can recover
