@@ -38,8 +38,8 @@ TRAIN_PLAN = [
     ("granular", 50, 2400),
     ("cloth", 50, 2700),
     ("multiobj", 50, 2700),
-    ("bunnybath", 50, 2700),
     ("rope_robot", 50, 2400),  # robot-driven dataset (VERDICT item 5)
+    ("bunnybath", 50, 2700),   # slowest datagen; may run on partial episodes
     ("softbody", 12, 3300),
 ]
 MAX_ATTEMPTS = 12
@@ -148,7 +148,7 @@ def epochs_done(out_dir):
     return done, last_valid
 
 
-def wait_for_prep(mat, max_wait=3600):
+def wait_for_prep(mat, max_wait=900):
     """gen_all.sh runs concurrently; block until this material's prep
     artifacts exist (it preprocesses after generating all materials)."""
     prep = os.path.join("data", "prep", mat)
@@ -255,6 +255,11 @@ def plan_material(mat, seed, verify=True, tag=None):
     if not os.path.exists(os.path.join(out_dir, "checkpoints", "latest.npz")):
         note(f"plan {mat}: no checkpoint, skipping")
         return
+    import glob as _glob
+
+    if os.path.exists(os.path.join(save_dir, ".done")):
+        note(f"plan {mat} {tag}: already complete, skipping")
+        return
     cmd = [sys.executable, "-m", "adaptigraph_tpu", "plan",
            "--config", mat, "--ckpt_dir", out_dir,
            "--save_dir", save_dir, "--seed", str(seed)]
@@ -275,6 +280,9 @@ def plan_material(mat, seed, verify=True, tag=None):
             "rc": str(rc), "errors": errs,
             "best": min(errs) if errs else None,
             "final": errs[-1] if errs else None})
+    if rc == 0 and errs:
+        with open(os.path.join(save_dir, ".done"), "w") as f:
+            f.write("1")
     note(f"plan {mat} seed {seed} verify={verify}: rc={rc} errors={errs}")
 
 
