@@ -424,6 +424,10 @@ def rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir, phase_ratio=(0.98
     }
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # per_push_padded: the full (n_pushes, L) error matrix (NaN past each
+        # push's end) — long-horizon drift diagnosis needs the raw curves,
+        # not just the aggregate medians
         np.savez(os.path.join(out_dir, "rollout_errors.npz"),
-                 median=stats["median"], q25=stats["q25"], q75=stats["q75"])
+                 median=stats["median"], q25=stats["q25"], q75=stats["q75"],
+                 per_push_padded=padded)
     return stats

@@ -202,6 +202,9 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
             pf = os.path.join(save_dir, f"ppo_{i}.npz")
             if ppo is not None and os.path.exists(pf):
                 history["phys"].append(np.load(pf)["physics_param"])
+        ifile = os.path.join(save_dir, "initial.npz")
+        if os.path.exists(ifile):
+            history["initial_error"] = float(np.load(ifile)["error"])
     for i in range(start_step, task.n_actions):
         t0 = time.time()
         try:
@@ -218,18 +221,33 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                 else jnp.full((task.dcfg.gnn.phys_dim,), 0.5))
 
         cur_err = error_to_target(state_raw)
+        if i == 0:
+            # pre-push error: makes every closed-loop artifact self-contained
+            # (how much did the first push improve on the initial state?)
+            history["initial_error"] = cur_err
+            if save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                np.savez(os.path.join(save_dir, "initial.npz"),
+                         error=cur_err, state=state_raw)
         key, k = jax.random.split(key)
         res = solve(params, jnp.asarray(state_pad), act_seq, k, phys)
         if task.verify_improvement:
             # execute only a push whose PREDICTED outcome improves on the
-            # current error; re-solve with fresh noise when it doesn't
-            # (reference analog: planner.py rollout_best re-verification)
+            # current error; when it doesn't, re-solve from a FRESH uniform
+            # warm-start over the full action box — re-solving around the
+            # same failed mean just resamples the same basin (the round-3
+            # A/B showed that retry mode losing to no gate). (reference
+            # analog: planner.py rollout_best re-verification)
             pred_err = error_to_target(np.asarray(res["best_final_state"])[:n_obj])
             retries = 0
             while (pred_err >= cur_err - task.min_pred_improvement
                    and retries < task.verify_retries):
+                fresh_seq = jnp.asarray(rng.uniform(
+                    task.action_lower_lim, task.action_upper_lim,
+                    size=(task.mcfg.n_look_ahead,
+                          len(task.action_lower_lim))).astype(np.float32))
                 key, k = jax.random.split(key)
-                res2 = solve(params, jnp.asarray(state_pad), res["mppi_seq"], k, phys)
+                res2 = solve(params, jnp.asarray(state_pad), fresh_seq, k, phys)
                 pred_err2 = error_to_target(
                     np.asarray(res2["best_final_state"])[:n_obj])
                 if pred_err2 < pred_err:
@@ -275,7 +293,9 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
             os.makedirs(save_dir, exist_ok=True)
             np.savez(os.path.join(save_dir, f"step_{i:03d}.npz"),
                      act=best_act, state=state_raw, state_next=state_next,
-                     error=err)
+                     error=err,
+                     **({"pred_error": pred_err}
+                        if task.verify_improvement else {}))
     history["final_phys"] = (ppo.physics_param.copy() if ppo is not None else None)
     return history
 

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from adaptigraph_tpu.models.gnn import GNNConfig, init_params
+from adaptigraph_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
 from adaptigraph_tpu.ops.graph import EdgeConfig
 from adaptigraph_tpu.ops.costs import chamfer
 from adaptigraph_tpu.parallel.mesh import make_mesh

@@ -38,7 +38,7 @@ python -m adaptigraph_tpu preprocess --config rope --data_dir data/sim/rope_robo
   || { echo "preprocess rope_robot FAILED"; FAIL=1; }
 
 for m in $MATERIALS rope_robot; do
-  if [ ! -s "data/prep/$m/metadata.json" ] && [ ! -s "data/prep/$m/metadata.txt" ]; then
+  if [ ! -s "data/prep/$m/meta.json" ]; then  # preprocess writes meta.json
     n=$(ls data/prep/$m 2>/dev/null | wc -l)
     [ "$n" -lt 3 ] && { echo "VERIFY FAIL: prep/$m looks empty"; FAIL=1; }
   fi

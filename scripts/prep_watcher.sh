@@ -3,7 +3,9 @@
 # so the training campaign never stalls waiting on gen_all's final prep pass.
 set -u
 cd "$(dirname "$0")/.."
-PENDING="granular cloth softbody multiobj bunnybath"
+# rope included: on a clean checkout nothing else preprocesses it before the
+# campaign's first (flagship) train needs it
+PENDING="rope granular cloth softbody multiobj bunnybath"
 for i in $(seq 1 200); do
   left=""
   for m in $PENDING; do
