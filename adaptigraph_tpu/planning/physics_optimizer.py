@@ -75,7 +75,15 @@ def dynamics_error_population(params, interactions, candidates,
     pred = dynamics_masked(params, tile(s0), tile(m0), tile(act), phys, cfg,
                            use_fused=use_fused)
     err = masked_chamfer(pred, tile(sr), tile(m0), tile(mr))  # (P*I,)
-    return err.reshape(P, I).mean(axis=1)
+    err = err.reshape(P, I)
+    valid = interactions.get("valid")
+    if valid is None:
+        return err.mean(axis=1)
+    # static-shape path: the interaction axis is padded (repeats of real
+    # rows) so the program never recompiles as interactions accumulate —
+    # average over the genuinely recorded ones only
+    v = jnp.asarray(valid, jnp.float32)
+    return (err * v[None, :]).sum(axis=1) / jnp.maximum(v.sum(), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -262,12 +270,14 @@ class PhysicsParamOnlineOptimizer:
     """
 
     def __init__(self, cfg: DynamicsConfig, model_params, phys_dim=1,
-                 save_dir=None, seed=0):
+                 save_dir=None, seed=0, pad_i=16, pad_p=32):
         self.cfg = cfg
         self.params = model_params
         self.phys_dim = phys_dim
         self.save_dir = save_dir
         self.seed = seed
+        self.pad_i = pad_i  # interaction-axis pad quantum (see evaluate)
+        self.pad_p = pad_p  # population-axis pad quantum
         self.physics_param = np.full(phys_dim, 0.5, np.float32)  # ref :32
         self._interactions = []
         # the masked whole-chunk Pallas kernel is the TPU hot path; the
@@ -315,12 +325,29 @@ class PhysicsParamOnlineOptimizer:
         return {k: np.stack([r[k] for r in self._interactions]) for k in ks}
 
     def evaluate(self, candidates):
-        """(P, phys_dim) candidates -> (P,) errors, one device call."""
+        """(P, phys_dim) candidates -> (P,) errors, one device call.
+
+        Both batch axes are padded to static sizes (interactions to a
+        multiple of ``pad_i``, population to a multiple of ``pad_p``, by
+        repeating real rows) so the WHOLE online loop reuses ONE compiled
+        program: without this, every MPC step (I grows by 1) and every
+        optimizer batch size (P in {1, 10, 20, lam}) paid a fresh multi-
+        minute remote compile. Padded work is negligible next to the MPPI
+        solve (P*I <= 512 single-step forwards vs 200k rollout substeps)."""
         inter = self._stacked()
         cand = np.atleast_2d(np.asarray(candidates, np.float32))
         if cand.shape[-1] != self.phys_dim:  # 1-D candidates passed flat
             cand = cand.reshape(-1, self.phys_dim)
-        return np.asarray(self._err_fn(self.params, inter, cand))
+        I, P = inter["act"].shape[0], cand.shape[0]
+        Ipad = -(-I // self.pad_i) * self.pad_i
+        Ppad = -(-P // self.pad_p) * self.pad_p
+        if Ipad != I:
+            reps = np.arange(Ipad) % I  # repeat real rows: finite everywhere
+            inter = {k: v[reps] for k, v in inter.items()}
+        inter["valid"] = (np.arange(Ipad) < I)
+        if Ppad != P:
+            cand = cand[np.arange(Ppad) % P]
+        return np.asarray(self._err_fn(self.params, inter, cand))[:P]
 
     # -- optimization ---------------------------------------------------------
     def optimize(self, i=None, iterations=50):

@@ -154,3 +154,22 @@ def test_online_recovery_multid_cma():
     # exact model at p_true -> error there is ~0; CMA must land close
     err_true = float(opt.evaluate(p_true[None])[0])
     assert err <= err_true + 2e-3
+
+
+def test_evaluate_static_padding_invariant(model_params):
+    """The static-shape padded evaluate (interaction axis -> pad_i, population
+    axis -> pad_p; one compiled program for the whole online loop) must return
+    exactly the same errors as the unpadded evaluation."""
+    opt_pad = PhysicsParamOnlineOptimizer(DCFG, model_params, phys_dim=1)
+    opt_raw = PhysicsParamOnlineOptimizer(DCFG, model_params, phys_dim=1,
+                                          pad_i=1, pad_p=1)
+    for act, si, sp, sr in _make_interactions(model_params, 0.35, n_inter=3):
+        opt_pad.add_interaction(act, si, sp, sr)
+        opt_raw.add_interaction(act, si, sp, sr)
+    cand = np.asarray([[0.2], [0.35], [0.8]], np.float32)
+    np.testing.assert_allclose(opt_pad.evaluate(cand), opt_raw.evaluate(cand),
+                               rtol=1e-5, atol=1e-6)
+    # growing I (3 -> 4) and odd P (1) keep the same padded program shapes
+    a, si, sp, sr = _make_interactions(model_params, 0.35, n_inter=1, seed=9)[0]
+    opt_pad.add_interaction(a, si, sp, sr)
+    assert np.isfinite(opt_pad.evaluate(cand[:1])[0])
