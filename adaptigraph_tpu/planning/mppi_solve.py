@@ -93,7 +93,13 @@ def make_mppi_solver(
         max — ~30% less substep work for a uniform 5..15 repeat budget, with
         the exact same sample set (MPPI's softmax update and argmax are
         order-invariant). ``interleave`` > 1 deals strata round-robin across
-        that many devices so the sharded path stays load-balanced."""
+        that many devices so the sharded path stays load-balanced.
+        ADAPTIGRAPH_NO_REPEAT_SORT=1 disables it (perf-regression A/B:
+        this landed between BENCH_r02 and r03's 18% headline drop)."""
+        import os as _os
+
+        if _os.environ.get("ADAPTIGRAPH_NO_REPEAT_SORT") == "1":
+            return act_seqs
         _, repeat = decode_action(act_seqs, mcfg.push_length)
         order = jnp.argsort(jnp.sum(repeat, axis=1))
         if interleave > 1:
