@@ -340,6 +340,8 @@ def cmd_plan(args):
         tcfg.n_actions = args.n_actions
     if args.verify:
         tcfg.verify_improvement = True
+    if args.execute_mean:
+        tcfg.execute_mean = True
     if args.n_sample or args.n_sample_chunk:
         import dataclasses
 
@@ -587,6 +589,10 @@ def main(argv=None):
                     help="only execute pushes whose predicted outcome "
                          "improves on the current error (end-game guard; "
                          "re-solves then stops when converged)")
+    pl.add_argument("--execute_mean", action="store_true",
+                    help="execute the MPPI softmax-mean sequence instead of "
+                         "the argmax sample (averages away single-sample "
+                         "model optimism; reference executes the argmax)")
     pl.add_argument("--resume", action="store_true",
                     help="continue from saved step_*.npz in --save_dir "
                          "(reference: plan.py --resume)")

@@ -82,6 +82,14 @@ class TaskConfig:
     verify_retries: int = 2
     min_pred_improvement: float = 0.0
     converge_tolerance: float = 0.02
+    # execute the MPPI softmax-MEAN sequence instead of the argmax sample.
+    # The argmax of 20k model rollouts selects the sample with the most
+    # optimistic model error (round-4 analysis: rope's per-push ranking
+    # signal is smaller than the model's accumulated substep drift, so the
+    # argmax is noise-dominated and executed pushes regress); the weighted
+    # mean averages the top samples and cancels single-sample optimism.
+    # Off by default (reference parity: planner.py executes best_act_seq).
+    execute_mean: bool = False
 
 
 def make_reward_fn(task: TaskConfig, target):
@@ -231,6 +239,15 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                          error=cur_err, state=state_raw)
         key, k = jax.random.split(key)
         res = solve(params, jnp.asarray(state_pad), act_seq, k, phys)
+        if task.execute_mean:
+            # re-rollout the mean sequence (B=1) so the gate/PPO see the
+            # prediction for the action actually executed
+            from adaptigraph_tpu.planning.forward import dynamics_rollout
+
+            out = dynamics_rollout(params, jnp.asarray(state_pad),
+                                   res["mppi_seq"][None], phys, task.dcfg)
+            res = {**res, "act_seq": res["mppi_seq"],
+                   "best_final_state": out["state_seqs"][0, -1]}
         if task.verify_improvement:
             # execute only a push whose PREDICTED outcome improves on the
             # current error; when it doesn't, re-solve from a FRESH uniform

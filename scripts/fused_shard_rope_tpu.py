@@ -10,6 +10,11 @@ JSON line with the rewards and deltas.
 """
 
 import json
+import os
+import sys
+
+# robust when the editable install is absent (observed: lost mid-round)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
