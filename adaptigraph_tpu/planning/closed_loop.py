@@ -288,7 +288,11 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
 
         board_act = sim_action_to_board(best_act[0] if best_act.ndim == 2
                                         else best_act, task.sim_real_ratio)
-        env.step(board_act)
+        if task.dcfg.gripper_enable and hasattr(env, "step_gripper"):
+            # cloth-style grasp primitive (reference: plan.py:256-259)
+            env.step_gripper(board_act)
+        else:
+            env.step(board_act)
 
         state_next = perceive()
         err = error_to_target(state_next)

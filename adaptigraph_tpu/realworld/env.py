@@ -93,6 +93,15 @@ class SimRealEnv:
         sim_action = np.array([x0 * r, y0 * r, x1 * r, y1 * r], np.float32)
         self.env.execute_push(sim_action)
 
+    def step_gripper(self, decoded_action):
+        """One grasp primitive: pick at (x0, y0), carry to (x1, y1), release
+        (reference: real_env.py step_gripper; plan.py:256-259 dispatches on
+        gripper_enable)."""
+        x0, y0, x1, y1 = [float(v) for v in decoded_action[:4]]
+        r = self.sim_real_ratio
+        sim_action = np.array([x0 * r, y0 * r, x1 * r, y1 * r], np.float32)
+        self.env.execute_grasp(sim_action)
+
     # -- test/metric helpers --------------------------------------------------
     def get_particles_sim(self):
         return self.env.get_positions()

@@ -141,3 +141,25 @@ def test_plan_improvement_gate_stops_regression(tmp_path):
     # at most one real push is executed before the gate trips (step 0 always
     # has an empty history; from step 1 the convergence stop applies)
     assert len(hist["errors"]) <= 3
+
+
+def test_gripper_dispatch(tmp_path):
+    """gripper_enable tasks execute through env.step_gripper (grasp
+    primitive), not env.step (reference: plan.py:256-259)."""
+    import dataclasses
+
+    env = SimRealEnv("rope", seed=0, img_size=320)
+    calls = {"push": 0, "grasp": 0}
+    orig_push, orig_grasp = env.step, env.step_gripper
+    env.step = lambda a: (calls.__setitem__("push", calls["push"] + 1), orig_push(a))[1]
+    env.step_gripper = lambda a: (calls.__setitem__("grasp", calls["grasp"] + 1),
+                                  orig_grasp(a))[1]
+    params = init_params(jax.random.PRNGKey(0), GNN)
+    target = env.get_particles_sim().mean(0)[None] + np.array(
+        [[0.3, 0.0, 0.2]], np.float32)
+    task = make_task()
+    task.dcfg = dataclasses.replace(task.dcfg, gripper_enable=True)
+    task.n_actions = 1
+    run_plan(env, params, task, target, save_dir=str(tmp_path), seed=0,
+             use_ppo=False, verbose=False)
+    assert calls == {"push": 0, "grasp": 1}
