@@ -14,6 +14,15 @@ def test_persistent_cache_writes_entries(tmp_path, monkeypatch):
     """enable_persistent_cache points jax at a disk cache; a fresh compile
     must land an entry there (this is the mechanism that makes the 20k-sample
     plan program's >25-min remote compile a one-time cost)."""
+    # the cache binds its directory on FIRST use in a process; an earlier
+    # test (e.g. a CLI invocation) may have initialized it at the default
+    # location, so rebind explicitly for this test
+    try:
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
+    except Exception:
+        pass
     cache = tmp_path / "jc"
     path = enable_persistent_cache(str(cache))
     assert path == str(cache) and os.path.isdir(path)
