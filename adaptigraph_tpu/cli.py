@@ -76,6 +76,7 @@ def _dyn_objects(config):
         state_noise_train=rand.get("state_noise", {}).get("train", 0.05),
         state_noise_valid=rand.get("state_noise", {}).get("valid", 0.0),
         store_rest_state=spec.store_rest_state,
+        grad_clip_norm=float(tc.get("grad_clip_norm", 0.0)),
     )
     return spec, gnn_cfg, edge_cfg, hyper
 

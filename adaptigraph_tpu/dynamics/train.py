@@ -48,6 +48,11 @@ class TrainHyper:
     phys_noise_valid: float = 0.0
     store_rest_state: bool = False
     seed: int = 42
+    # global-norm gradient clip; 0 disables (reference parity: plain Adam).
+    # Motivation: a single catastrophic epoch was observed on granular_f6
+    # (train loss 0.0015 -> 2.99 in one epoch, valid 6x worse — heavy-tailed
+    # contact gradients); clipping bounds the damage of one bad superbatch.
+    grad_clip_norm: float = 0.0
 
 
 def expand_compact_batch(batch, gnn_cfg: GNNConfig):
@@ -449,7 +454,9 @@ def train(
     if params is None:
         key, k0 = jax.random.split(key)
         params = init_params(k0, gnn_cfg)
-    optimizer = optax.adam(hyper.lr)
+    optimizer = (optax.chain(optax.clip_by_global_norm(hyper.grad_clip_norm),
+                             optax.adam(hyper.lr))
+                 if hyper.grad_clip_norm > 0 else optax.adam(hyper.lr))
     opt_state = optimizer.init(params)
     start_epoch = 0
     if resume:

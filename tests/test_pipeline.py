@@ -531,3 +531,49 @@ def test_robot_datagen_episode(tmp_path):
     assert not bad and n == 1
     import os
     assert os.path.exists(tmp_path / "000000" / "01.h5")
+
+
+def test_grad_clip_bounds_update(prep_dir):
+    """grad_clip_norm > 0 chains a global-norm clip before Adam (round-4
+    robustness knob: one catastrophic granular_f6 epoch blew train loss
+    0.0015 -> 2.99); the clipped step must stay finite AND the config knob
+    must flow through _dyn_objects."""
+    from adaptigraph_tpu.cli import _dyn_objects
+    from adaptigraph_tpu.utils.config import load_dynamics_config
+
+    cfg = load_dynamics_config("rope")
+    cfg["train_config"]["grad_clip_norm"] = 1.0
+    _, _, _, hyper = _dyn_objects(cfg)
+    assert hyper.grad_clip_norm == 1.0
+
+    import optax
+
+    ds = DynDataset(prep_dir, SPEC, phase="train",
+                    ratio={"train": [0, 1.0], "valid": [0, 1.0]})
+    loader = BatchLoader(ds, batch_size=8, seed=1)
+    gnn_cfg = GNNConfig(n_his=4, max_nobj=40, max_neef=1, nf_particle=32,
+                        nf_relation=32, nf_effect=32, pstep=2)
+    edge_cfg = EdgeConfig(max_nobj=40, max_neef=1, topk=10)
+    hyper2 = train_mod.TrainHyper(n_future=3, state_noise_train=0.01,
+                                  grad_clip_norm=1.0)
+    # the same chain train() builds when the knob is set
+    opt = optax.chain(optax.clip_by_global_norm(hyper2.grad_clip_norm),
+                      optax.adam(hyper2.lr))
+    params = init_params(jax.random.PRNGKey(0), gnn_cfg)
+    opt_state = opt.init(params)
+    step = train_mod.make_train_step(gnn_cfg, edge_cfg, hyper2, opt)
+    key = jax.random.PRNGKey(0)
+    # the train step donates params; snapshot to host first
+    p0 = jax.tree_util.tree_map(np.asarray, params)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, next(loader), k)
+        assert np.isfinite(float(loss))
+    loader.close()
+    # clipped Adam still moves the params
+    import jax.numpy as jnp
+
+    diff = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b[0] - b[1]).sum()),
+        jax.tree_util.tree_map(lambda a, b: (a, b), p0, params), 0.0)
+    assert diff > 0.0
