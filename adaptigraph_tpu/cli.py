@@ -343,6 +343,10 @@ def cmd_plan(args):
         tcfg.verify_improvement = True
     if args.execute_mean:
         tcfg.execute_mean = True
+    if args.fps_radius:
+        # denser/sparser perceived state; shapes are padded to max_nobj so
+        # the compiled solve is reused across radii
+        tcfg.fps_radius = args.fps_radius
     if args.n_sample or args.n_sample_chunk:
         import dataclasses
 
@@ -590,6 +594,9 @@ def main(argv=None):
                     help="only execute pushes whose predicted outcome "
                          "improves on the current error (end-game guard; "
                          "re-solves then stops when converged)")
+    pl.add_argument("--fps_radius", type=float,
+                    help="override the perception FPS radius (sim units); "
+                         "smaller = denser perceived keypoints")
     pl.add_argument("--execute_mean", action="store_true",
                     help="execute the MPPI softmax-mean sequence instead of "
                          "the argmax sample (averages away single-sample "
