@@ -291,7 +291,12 @@ def cmd_rollout(args):
     out_dir = args.out_dir or config["train_config"]["out_dir"]
     params = load_checkpoint(out_dir, epoch=args.epoch)
     roll_dir = os.path.join(out_dir, "rollout")
+    # --eval_frac widens the held-out slice (default 2% ~= 10 pushes at 100
+    # episodes); the last-step median is noisy at 10 pushes (round-4
+    # analysis), so stability studies evaluate more
+    frac = args.eval_frac or 0.02
     stats = rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir,
+                            phase_ratio=(1.0 - frac, 1.0),
                             out_dir=roll_dir, keep_prev_fps=args.keep_prev_fps)
     med = stats["median"]
     if len(med):
@@ -573,6 +578,9 @@ def main(argv=None):
     r.add_argument("--prep_dir")
     r.add_argument("--out_dir")
     r.add_argument("--epoch", type=int)
+    r.add_argument("--eval_frac", type=float,
+                   help="held-out episode fraction to evaluate (default "
+                        "0.02; larger = more pushes, stabler medians)")
     r.add_argument("--keep_prev_fps", action="store_true",
                    help="reuse the first push's FPS indices for all pushes "
                         "in an episode (reference: rollout.py --keep_prev_fps)")
