@@ -12,18 +12,8 @@ JAX/XLA/Pallas-first architecture:
 
 __version__ = "0.1.0"
 
-import os as _os
-
-# Persistent XLA compilation cache (opt-out via JAX_COMPILATION_CACHE_DIR="").
-# The flagship 20k-sample MPPI program compiles in tens of minutes through the
-# remote-TPU tunnel; caching it on disk makes that a one-time cost that
-# survives client restarts and watchdog kills. setdefault BEFORE jax is
-# imported (jax reads these env vars at import); harmless if the embedding
-# process imported jax already — the CLI / bench entry points import this
-# package first.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                  ".jax_cache"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NOTE: the persistent XLA compilation cache is enabled explicitly by the
+# entry points (cli.main, bench.py) via utils.jaxcache.enable_persistent_cache
+# — importing the package must not mutate process env or write outside a
+# user-chosen location (ADVICE r4: an installed copy would otherwise drop
+# .jax_cache into site-packages' parent and leak env into embedding apps).

@@ -1,3 +1,3 @@
-from adaptigraph_tpu.cli import main
+from adaptigraph_tpu.cli import console_main
 
-main()
+console_main()

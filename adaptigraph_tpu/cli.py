@@ -23,6 +23,10 @@ import os
 
 import numpy as np
 
+# Gate for the axon hard-exit teardown workaround at the end of main():
+# False for in-process callers (tests), True only via console_main().
+_ALLOW_HARD_EXIT = False
+
 
 # ---------------------------------------------------------------------------
 # config -> framework objects
@@ -189,7 +193,7 @@ def cmd_datagen(args):
 
     bad = generate(data_dir, material, n_episodes, n_pushes=n_pushes,
                    n_workers=n_workers, seed=seed, capture_depth=args.capture,
-                   robot=args.robot)
+                   robot=args.robot, start_episode=args.start_episode)
     print(f"generated {n_episodes} episodes ({len(bad)} bad) -> {data_dir}")
 
 
@@ -293,10 +297,19 @@ def cmd_rollout(args):
     roll_dir = os.path.join(out_dir, "rollout")
     # --eval_frac widens the held-out slice (default 2% ~= 10 pushes at 100
     # episodes); the last-step median is noisy at 10 pushes (round-4
-    # analysis), so stability studies evaluate more
-    frac = args.eval_frac or 0.02
+    # analysis), so stability studies evaluate more. The slice is clamped
+    # to the config's train-phase end so a wide frac can never silently
+    # include TRAINED episodes in a metric documented as held-out (ADVICE
+    # r4) — for truly large held-out sets use a fresh prep dir instead.
+    frac = 0.02 if args.eval_frac is None else args.eval_frac
+    eval_lo = 1.0 - frac
+    train_hi = float(dc.get("ratio", {}).get("train", [0, 0.98])[1])
+    if eval_lo < train_hi:
+        print(f"warning: --eval_frac {frac} overlaps the train split "
+              f"[0, {train_hi}]; clamping eval slice to [{train_hi}, 1.0]")
+        eval_lo = train_hi
     stats = rollout_dataset(params, spec, gnn_cfg, edge_cfg, prep_dir,
-                            phase_ratio=(1.0 - frac, 1.0),
+                            phase_ratio=(eval_lo, 1.0),
                             out_dir=roll_dir, keep_prev_fps=args.keep_prev_fps)
     med = stats["median"]
     if len(med):
@@ -348,9 +361,10 @@ def cmd_plan(args):
         tcfg.verify_improvement = True
     if args.execute_mean:
         tcfg.execute_mean = True
-    if args.fps_radius:
+    if args.fps_radius is not None:
         # denser/sparser perceived state; shapes are padded to max_nobj so
-        # the compiled solve is reused across radii
+        # the compiled solve is reused across radii (0 is a valid probe:
+        # FPS keeps every perceived point)
         tcfg.fps_radius = args.fps_radius
     if args.n_sample or args.n_sample_chunk:
         import dataclasses
@@ -364,6 +378,25 @@ def cmd_plan(args):
                                         n_sample_chunk=chunk)
     material = config["dataset_config"]["materials"][0]
     env = SimRealEnv(material, seed=args.seed, sim_real_ratio=tcfg.sim_real_ratio)
+    # the scene's TRUE normalized physics parameter (SimRealEnv knows its
+    # sampled properties; normalization mirrors the dataset's min/max,
+    # reference: load.py:69-82) — recorded in every artifact so estimate
+    # accuracy is checkable (VERDICT r4 next #1a)
+    props = env.env.properties
+    true_phys = np.array(
+        [(float(props[s["name"]]) - s["min"]) / (s["max"] - s["min"])
+         for s in _phys_specs(config) if s["use"] and s["name"] in props],
+        np.float32)
+    if true_phys.size != tcfg.dcfg.gnn.phys_dim:
+        true_phys = None  # property set doesn't cover the model's param dim
+    phys_override = None
+    if args.phys is not None:
+        phys_override = np.asarray(args.phys, np.float32)
+    elif args.oracle:
+        assert true_phys is not None, "--oracle needs the scene's true params"
+        phys_override = true_phys
+    if phys_override is not None:
+        args.no_ppo = True  # fixed-parameter arms don't adapt
     params = _load_plan_params(args, tcfg)
     if args.target:  # explicit file beats the yaml target
         target = np.load(args.target)
@@ -434,7 +467,8 @@ def cmd_plan(args):
                 tcfg.mcfg = _dc.replace(tcfg.mcfg, n_sample_chunk=chunk)
     hist = run_plan(env, params, tcfg, target, pm=pm, save_dir=args.save_dir,
                     seed=args.seed, use_ppo=not args.no_ppo,
-                    resume=args.resume, mesh=mesh)
+                    resume=args.resume, mesh=mesh, true_phys=true_phys,
+                    phys_override=phys_override, ppo_warmup=args.ppo_warmup)
     if args.save_dir:
         from adaptigraph_tpu.utils.viz import plot_planning_progress
 
@@ -528,6 +562,11 @@ def main(argv=None):
     d.add_argument("--n_pushes", type=int)
     d.add_argument("--n_workers", type=int)
     d.add_argument("--seed", type=int)
+    d.add_argument("--start_episode", type=int, default=0,
+                   help="first episode index: extend an existing dataset "
+                        "in place (per-episode seeds depend only on the "
+                        "base seed and the index, so an extended run "
+                        "matches a single longer run)")
     d.add_argument("--capture", action="store_true",
                    help="record 4-camera RGB-D observations per frame")
     d.add_argument("--robot", action="store_true",
@@ -609,6 +648,18 @@ def main(argv=None):
                     help="execute the MPPI softmax-mean sequence instead of "
                          "the argmax sample (averages away single-sample "
                          "model optimism; reference executes the argmax)")
+    pl.add_argument("--oracle", action="store_true",
+                    help="plan with the scene's TRUE physics parameter "
+                         "(adaptation A/B oracle arm; implies --no_ppo "
+                         "semantics for the parameter)")
+    pl.add_argument("--phys", type=float, nargs="+",
+                    help="plan with this fixed normalized physics parameter "
+                         "(A/B arm; e.g. --phys 0.5)")
+    pl.add_argument("--ppo_warmup", type=int, default=0,
+                    help="random excitation pushes recorded as PPO "
+                         "interactions before the MPC loop (the reference "
+                         "runs random_interact first to build the "
+                         "system-ID dataset)")
     pl.add_argument("--resume", action="store_true",
                     help="continue from saved step_*.npz in --save_dir "
                          "(reference: plan.py --resume)")
@@ -671,7 +722,12 @@ def main(argv=None):
     # workaround bench.py uses. Env-gated (not jax.default_backend(), which
     # reports "tpu" for axon, and importing jax here would newly dial the
     # tunnel from jax-free subcommands like datagen).
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+    # The hard exit is process-terminating: it must never fire when main()
+    # was called in-process (pytest imports cli and calls main() directly;
+    # with the ambient JAX_PLATFORMS=axon it used to kill the whole pytest
+    # run after the first CLI test with rc=0 — a silent false success).
+    # Only the real process entry points opt in via console_main().
+    if _ALLOW_HARD_EXIT and "axon" in os.environ.get("JAX_PLATFORMS", ""):
         # anything needing teardown on this path must use the finalizer
         # registry — atexit never runs after os._exit
         from adaptigraph_tpu.utils.finalize import run_finalizers
@@ -680,5 +736,13 @@ def main(argv=None):
         os._exit(0)
 
 
+def console_main(argv=None):
+    """Process entry point (``python -m adaptigraph_tpu`` / console script):
+    the only path allowed to use the axon hard-exit teardown workaround."""
+    global _ALLOW_HARD_EXIT
+    _ALLOW_HARD_EXIT = True
+    main(argv)
+
+
 if __name__ == "__main__":
-    main()
+    console_main()

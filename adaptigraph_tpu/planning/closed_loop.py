@@ -141,7 +141,8 @@ def _pad_state(state, max_nobj):
 
 def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
              save_dir=None, seed=0, use_ppo=True, verbose=True,
-             state_fn=None, resume=False, mesh=None):
+             state_fn=None, resume=False, mesh=None, true_phys=None,
+             phys_override=None, ppo_warmup=0):
     """Target-driven closed loop (reference: plan.py:229-315).
 
     env: RealEnv-contract environment. target: (n, 3) sim-frame point cloud
@@ -152,6 +153,17 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
     (reference: plan.py:114-125,217-225 counts saved interactions).
     mesh: optional device mesh — the full MPPI sample budget shards across it
     (reference equivalent: the whole 20k-sample budget, plan.py:177-182).
+
+    Adaptation-evidence knobs (VERDICT r4 next #1):
+    true_phys: the scene's TRUE normalized physics parameter (known for
+    SimRealEnv episodes) — recorded in initial.npz + history so estimate
+    accuracy is checkable, never fed to the planner. phys_override: plan
+    with this fixed parameter instead of the 0.5 default when PPO is off
+    (the "oracle" A/B arm plans with the truth). ppo_warmup: execute this
+    many random excitation pushes BEFORE the MPC loop, recording them as
+    PPO interactions (the reference workflow runs random_interact first to
+    build the system-ID dataset; plan-step pushes alone under-excite the
+    fit objective — the granular −0.2 clamp-pegging diagnosis).
 
     Returns dict with per-step errors, actions, and the final physics
     estimate.
@@ -168,6 +180,10 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
     ppo = PhysicsParamOnlineOptimizer(
         task.dcfg, params, phys_dim=task.dcfg.gnn.phys_dim,
         save_dir=save_dir, seed=seed) if use_ppo else None
+    if true_phys is not None:
+        true_phys = np.asarray(true_phys, np.float32)
+    if phys_override is not None:
+        phys_override = np.asarray(phys_override, np.float32)
 
     start_step = 0
     if resume and save_dir and os.path.isdir(save_dir):
@@ -195,6 +211,33 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
         if task.target_type == "box":
             return float(box_loss(jnp.asarray(state)[None], jnp.asarray(target))[0])
         return float(chamfer(jnp.asarray(state)[None], jnp.asarray(target)[None])[0])
+
+    def execute(board_act):
+        if task.dcfg.gripper_enable and hasattr(env, "step_gripper"):
+            # cloth-style grasp primitive (reference: plan.py:256-259)
+            env.step_gripper(board_act)
+        else:
+            env.step(board_act)
+
+    if ppo is not None and ppo_warmup > 0 and not ppo._interactions:
+        # system-ID excitation phase: random pushes recorded as interactions
+        # only (not plan steps). state_pred is a placeholder (the fit never
+        # reads it — dynamics_error recomputes predictions per candidate).
+        for w in range(ppo_warmup):
+            try:
+                st = perceive()
+            except EmptyPerceptionError:
+                break
+            wact = rng.uniform(np.asarray(task.action_lower_lim),
+                               np.asarray(task.action_upper_lim)).astype(np.float32)
+            execute(sim_action_to_board(wact, task.sim_real_ratio))
+            try:
+                st_next = perceive()
+            except EmptyPerceptionError:
+                break
+            ppo.add_interaction(wact, st, st, st_next)
+            if verbose:
+                print(f"warmup {w}: excitation push recorded")
 
     act_seq = jnp.asarray(
         (np.asarray(task.action_lower_lim) + np.asarray(task.action_upper_lim))
@@ -225,29 +268,45 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                 print(f"step {i}: aborting MPC loop — {e}")
             break
         state_pad, n_obj = _pad_state(state_raw, max_nobj)
-        phys = (jnp.asarray(ppo.physics_param) if ppo is not None
-                else jnp.full((task.dcfg.gnn.phys_dim,), 0.5))
+        if ppo is not None:
+            phys = jnp.asarray(ppo.physics_param)
+        elif phys_override is not None:
+            # oracle / fixed-parameter A/B arm: plan with a known parameter
+            phys = jnp.asarray(phys_override)
+        else:
+            phys = jnp.full((task.dcfg.gnn.phys_dim,), 0.5)
 
         cur_err = error_to_target(state_raw)
         if i == 0:
             # pre-push error: makes every closed-loop artifact self-contained
             # (how much did the first push improve on the initial state?)
             history["initial_error"] = cur_err
+            if true_phys is not None:
+                history["true_phys"] = true_phys
             if save_dir:
                 os.makedirs(save_dir, exist_ok=True)
                 np.savez(os.path.join(save_dir, "initial.npz"),
-                         error=cur_err, state=state_raw)
-        key, k = jax.random.split(key)
-        res = solve(params, jnp.asarray(state_pad), act_seq, k, phys)
-        if task.execute_mean:
+                         error=cur_err, state=state_raw,
+                         **({"true_phys": true_phys}
+                            if true_phys is not None else {}))
+
+        def apply_execute_mean(r):
+            if not task.execute_mean:
+                return r
             # re-rollout the mean sequence (B=1) so the gate/PPO see the
-            # prediction for the action actually executed
+            # prediction for the action actually executed — applied to EVERY
+            # candidate result, including gate retries (ADVICE r4: a retry
+            # used to silently revert to the argmax sample)
             from adaptigraph_tpu.planning.forward import dynamics_rollout
 
             out = dynamics_rollout(params, jnp.asarray(state_pad),
-                                   res["mppi_seq"][None], phys, task.dcfg)
-            res = {**res, "act_seq": res["mppi_seq"],
-                   "best_final_state": out["state_seqs"][0, -1]}
+                                   r["mppi_seq"][None], phys, task.dcfg)
+            return {**r, "act_seq": r["mppi_seq"],
+                    "best_final_state": out["state_seqs"][0, -1]}
+
+        key, k = jax.random.split(key)
+        res = apply_execute_mean(
+            solve(params, jnp.asarray(state_pad), act_seq, k, phys))
         if task.verify_improvement:
             # execute only a push whose PREDICTED outcome improves on the
             # current error; when it doesn't, re-solve from a FRESH uniform
@@ -264,7 +323,8 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                     size=(task.mcfg.n_look_ahead,
                           len(task.action_lower_lim))).astype(np.float32))
                 key, k = jax.random.split(key)
-                res2 = solve(params, jnp.asarray(state_pad), fresh_seq, k, phys)
+                res2 = apply_execute_mean(
+                    solve(params, jnp.asarray(state_pad), fresh_seq, k, phys))
                 pred_err2 = error_to_target(
                     np.asarray(res2["best_final_state"])[:n_obj])
                 if pred_err2 < pred_err:
@@ -285,38 +345,38 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                 break
         best_act = np.asarray(res["act_seq"])
         act_seq = res["mppi_seq"]  # receding-horizon warm start (plan.py:263-272)
+        # the model's prediction for the executed push — always recorded so
+        # model-vs-reality per push is diagnosable offline (VERDICT r4 #3:
+        # does the executed primitive realize the predicted displacement?)
+        pred_state = np.asarray(res["best_final_state"])[:n_obj]
+        pred_err = error_to_target(pred_state)
 
         board_act = sim_action_to_board(best_act[0] if best_act.ndim == 2
                                         else best_act, task.sim_real_ratio)
-        if task.dcfg.gripper_enable and hasattr(env, "step_gripper"):
-            # cloth-style grasp primitive (reference: plan.py:256-259)
-            env.step_gripper(board_act)
-        else:
-            env.step(board_act)
+        execute(board_act)
 
         state_next = perceive()
         err = error_to_target(state_next)
         history["errors"].append(err)
         history["actions"].append(best_act)
         if verbose:
-            print(f"step {i}: error {err:.4f} ({time.time() - t0:.1f}s)")
+            print(f"step {i}: error {err:.4f} (predicted {pred_err:.4f}, "
+                  f"{time.time() - t0:.1f}s)")
 
         if ppo is not None:
-            pred = np.asarray(res["best_final_state"])[:n_obj]
             ppo.add_interaction(best_act[0] if best_act.ndim == 2 else best_act,
-                                state_raw, pred, state_next)
+                                state_raw, pred_state, state_next)
             est, _, _ = ppo.optimize(i, iterations=task.ppo_iterations)
             history["phys"].append(est.copy())
             if verbose:
-                print(f"  physics estimate -> {est}")
+                print(f"  physics estimate -> {est}"
+                      + (f" (true {true_phys})" if true_phys is not None else ""))
 
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             np.savez(os.path.join(save_dir, f"step_{i:03d}.npz"),
                      act=best_act, state=state_raw, state_next=state_next,
-                     error=err,
-                     **({"pred_error": pred_err}
-                        if task.verify_improvement else {}))
+                     error=err, pred_error=pred_err, pred_state=pred_state)
     history["final_phys"] = (ppo.physics_param.copy() if ppo is not None else None)
     return history
 

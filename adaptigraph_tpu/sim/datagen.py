@@ -68,15 +68,18 @@ def _worker(args):
 
 
 def generate(data_dir, material, n_episodes, n_pushes=5, n_workers=1, seed=0,
-             capture_depth=False, robot=False):
+             capture_depth=False, robot=False, start_episode=0):
     """Fan episodes out over a process pool (reference: data_gen.py:215-239).
     ``robot=True`` drives every push through the xArm6 IK chain with the
     tool's contact-face collision geometry (reference: flex_env.py:308-481).
+    ``start_episode`` extends an existing dataset in place: episode ``e``
+    always draws seed ``seed + e*997``, so generating [0,100) then
+    [100,300) with the same base seed is identical to one [0,300) run.
     Returns the list of bad episode indices (reference: bad_episodes.txt)."""
     os.makedirs(data_dir, exist_ok=True)
     jobs = [(data_dir, material, e, n_pushes, seed + e * 997, capture_depth,
              robot)
-            for e in range(n_episodes)]
+            for e in range(start_episode, start_episode + n_episodes)]
     if n_workers > 1:
         with mp.Pool(n_workers) as pool:
             results = pool.map(_worker, jobs)
@@ -84,6 +87,7 @@ def generate(data_dir, material, n_episodes, n_pushes=5, n_workers=1, seed=0,
         results = [_worker(j) for j in jobs]
     bad = [e for e, _, b in results if b]
     if bad:
-        with open(os.path.join(data_dir, "bad_episodes.txt"), "w") as f:
-            f.write("\n".join(str(b) for b in bad))
+        # append: an extend run must not clobber the base run's bad list
+        with open(os.path.join(data_dir, "bad_episodes.txt"), "a") as f:
+            f.write("\n".join(str(b) for b in bad) + "\n")
     return bad

@@ -15,7 +15,13 @@ code runs, so the env-var defaults are already frozen by then.
 import os
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_DEFAULT_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
+if os.path.exists(os.path.join(_REPO_ROOT, "pyproject.toml")):
+    # editable checkout: keep the cache beside the repo (shared by bench/CLI)
+    _DEFAULT_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
+else:
+    # installed copy: never write into site-packages' parent (ADVICE r4)
+    _DEFAULT_DIR = os.path.join(
+        os.path.expanduser("~"), ".cache", "adaptigraph_tpu", "jax_cache")
 
 
 def enable_persistent_cache(cache_dir=None):

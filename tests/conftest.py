@@ -10,6 +10,13 @@ is first resolved.
 
 import os
 
+# The shipped environment sets JAX_PLATFORMS=axon; env-gated TPU paths (the
+# cli hard-exit teardown workaround) must never see it during an in-process
+# test run — with it set, the first cli.main() call used to os._exit(0) the
+# whole pytest process after 7 tests with rc=0 (round-4 silent false
+# success). The backend itself is forced to CPU below via jax.config.
+os.environ.pop("JAX_PLATFORMS", None)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -176,3 +176,25 @@ def test_perception_cli(tmp_path):
     goal = np.load(out)["goal"]
     assert goal.ndim == 2 and goal.shape[1] == 3 and len(goal) > 10
     cli.main(["perception", "--calibrate", "--material", "rope"])
+
+
+def test_main_survives_ambient_axon_env_in_process(tmp_path):
+    """Guard for the round-4 silent false success: with the shipped
+    JAX_PLATFORMS=axon env var set, an IN-PROCESS cli.main() call must
+    return normally (the os._exit(0) teardown workaround is reserved for
+    console_main, the real process entry point). Runs in a subprocess so
+    the env var can be set without conftest interference."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['JAX_PLATFORMS'] = 'axon'\n"
+        "import adaptigraph_tpu.cli as cli\n"
+        f"cli.main(['datagen', '--material', 'box', '--data_dir', {str(tmp_path)!r},"
+        " '--n_episodes', '1'])\n"
+        "print('SURVIVED-IN-PROCESS')\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert p.returncode == 0, p.stderr
+    assert "SURVIVED-IN-PROCESS" in p.stdout, (p.stdout, p.stderr)
