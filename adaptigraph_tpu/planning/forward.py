@@ -81,7 +81,13 @@ def _pusher_keypoints(cfg: DynamicsConfig, decoded, theta, y):
 def _spb_for(gnn, edge):
     """samples-per-block for the fused kernels: S=8 is the measured v5e sweet
     spot, backed off while the edge-row working set exceeds the raised
-    in-kernel VMEM limit (~18k rows)."""
+    in-kernel VMEM limit (~18k rows). ADAPTIGRAPH_SPB overrides for tuning
+    sweeps (scripts/profile_kernel_parts.py)."""
+    import os
+
+    env = os.environ.get("ADAPTIGRAPH_SPB")
+    if env:
+        return int(env)
     Np8 = (gnn.n_nodes + 7) // 8 * 8
     return next((s for s in (8, 4, 2, 1) if s * edge.topk * Np8 <= 18000), 1)
 
