@@ -223,8 +223,10 @@ def main():
     os.makedirs("runs/logs", exist_ok=True)
     record({"stage": "start", "round": 5, "deadline_s": DEADLINE_S})
 
-    # ---- 1. flagship trains ------------------------------------------------
-    for mat in ("rope", "granular", "cloth"):
+    # ---- 1. flagship trains (cloth moved after the A/Bs: its datagen is
+    # the slow pole, ~95 s/episode, and must not stall the thesis
+    # experiment) --------------------------------------------------------
+    for mat in ("rope", "granular"):
         if left() < 900:
             break
         if wait_prep(os.path.join("data", "prep", mat)):
@@ -253,18 +255,7 @@ def main():
                     "--out", f"artifacts/r5/ppo_objective_{mat}_s{seed}.npz"],
                    f"ppo_objective_{mat}_s{seed}", timeout=1800)
 
-    # ---- 4. cloth closed loop + diagnosis ---------------------------------
-    for seed in (0, 1, 2):
-        if left() < 1200:
-            break
-        plan("cloth", seed, f"ab_seed{seed}", extra=["--ppo_warmup", "3"],
-             timeout=4800 if seed == 0 else 3000)
-        sd = os.path.join("runs", "cloth", f"ab_seed{seed}")
-        if os.path.isdir(sd):
-            script("scripts/diag_plan_steps.py", ["--save_dir", sd],
-                   f"diag_cloth_seed{seed}", timeout=600, need_tpu=False)
-
-    # ---- 5. checkpoint-selection proxy ------------------------------------
+    # ---- 4. checkpoint-selection proxy ------------------------------------
     if left() > 1800 and os.path.isdir("runs/rope/checkpoints"):
         script("scripts/select_checkpoint.py",
                ["--config", "rope", "--out_dir", "runs/rope",
@@ -278,7 +269,7 @@ def main():
                 "--epochs", "10", "30", "50"],
                "select_rope_miniplan", timeout=3600, stall=2400)
 
-    # ---- 6. data scaling (rope_robot 100 vs 300) --------------------------
+    # ---- 5. data scaling (rope_robot 100 vs 300) --------------------------
     if left() > 1800 and wait_prep("data/prep/rope_robot", max_wait=600):
         if train("rope_robot", cfg="rope", prep_dir="data/prep/rope_robot"):
             fresh_eval("rope_robot", "rope", "runs/rope_robot",
@@ -311,7 +302,24 @@ def main():
         script("scripts/make_granular_fixture.py", [],
                "granular_fixture", timeout=2400)
 
-    # ---- 9. remaining materials -------------------------------------------
+    # ---- 9. cloth train + closed loop + diagnosis (datagen's slow pole;
+    # prep typically lands ~2.5 h in) ---------------------------------------
+    if left() > 1800 and wait_prep("data/prep/cloth", max_wait=3600):
+        if train("cloth", timeout=2700):
+            rollout("cloth")
+            for seed in (0, 1, 2):
+                if left() < 1200:
+                    break
+                plan("cloth", seed, f"ab_seed{seed}",
+                     extra=["--ppo_warmup", "3"],
+                     timeout=4800 if seed == 0 else 3000)
+                sd = os.path.join("runs", "cloth", f"ab_seed{seed}")
+                if os.path.isdir(sd):
+                    script("scripts/diag_plan_steps.py", ["--save_dir", sd],
+                           f"diag_cloth_seed{seed}", timeout=600,
+                           need_tpu=False)
+
+    # ---- 10. remaining materials ------------------------------------------
     for mat, epochs in (("multiobj", 50), ("bunnybath", 50), ("softbody", 12)):
         if left() < 1500:
             record({"stage": "train", "material": mat, "status": "skipped"})
@@ -320,6 +328,12 @@ def main():
             if train(mat, epochs=epochs,
                      timeout=3300 if mat == "softbody" else 2700):
                 rollout(mat)
+
+    # ---- 11. granular fused-kernel block-size sweep (perf headroom;
+    # last — Mosaic compiles of new block shapes can run long) --------------
+    if left() > 1500:
+        script("scripts/tune_granular_spb.py", [], "granular_spb",
+               timeout=3600, stall=2400)
 
     record({"stage": "end"})
     note("campaign_r5 done")

@@ -29,6 +29,7 @@ def latest_rows(path):
             if stage in ("start", "end"):
                 continue
             key = (stage, r.get("material"), r.get("seed"), r.get("verify"),
+                   r.get("tag"), r.get("epoch"),
                    json.dumps(r.get("budget", {}), sort_keys=True))
             rows[key] = r
     return rows
@@ -58,16 +59,33 @@ def main():
               f"| {fmt(r.get('push_final_median'))} |")
 
     print("\n## Closed-loop plans (from runs/quality.jsonl)\n")
-    print("| material | tag/seed | budget | ppo | initial err | best | final |")
-    print("|---|---|---|---|---|---|---|")
+    print("| material | tag | budget | initial err | best | final | "
+          "phys estimate | true phys |")
+    print("|---|---|---|---|---|---|---|---|")
     plans = [(k, v) for k, v in rows.items()
              if k[0] == "plan" and v.get("best") is not None]
-    for k, v in sorted(plans, key=lambda kv: (kv[0][1] or "", str(kv[0][2]))):
+    for k, v in sorted(plans, key=lambda kv: (kv[0][1] or "",
+                                              str(kv[1].get("tag") or kv[0][2]))):
         b = v.get("budget", {})
-        print(f"| {k[1]} | seed {v.get('seed')} verify={v.get('verify')} "
-              f"| {b.get('n_sample', '—')} | {b.get('ppo', '—')} "
+        tag = v.get("tag") or f"seed {v.get('seed')} verify={v.get('verify')}"
+        est = v.get("final_phys_estimate")
+        truth = v.get("true_phys")
+        print(f"| {k[1]} | {tag} | {b.get('n_sample', '—')} "
               f"| {fmt(v.get('initial_error'))} | {fmt(v.get('best'))} "
-              f"| {fmt(v.get('final'))} |")
+              f"| {fmt(v.get('final'))} "
+              f"| {fmt(est[0]) if est else '—'} "
+              f"| {fmt(truth[0]) if truth else '—'} |")
+
+    fresh = [(k, v) for k, v in rows.items() if k[0] == "rollout_fresh_eval"]
+    if fresh:
+        print("\n## Fresh-test-set rollouts (never-trained episodes)\n")
+        print("| material | epoch | pushes | median@last | push-final median |")
+        print("|---|---|---|---|---|")
+        for k, v in sorted(fresh, key=lambda kv: str(kv[0][1])):
+            print(f"| {k[1]} | {v.get('epoch') or 'final'} "
+                  f"| {fmt(v.get('n_pushes'))} "
+                  f"| {fmt(v.get('median_last_step'))} "
+                  f"| {fmt(v.get('push_final_median'))} |")
 
     benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     if benches:
