@@ -219,10 +219,14 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
         else:
             env.step(board_act)
 
-    if ppo is not None and ppo_warmup > 0 and not ppo._interactions:
+    if (ppo_warmup > 0 and start_step == 0
+            and (ppo is None or not ppo._interactions)):
         # system-ID excitation phase: random pushes recorded as interactions
         # only (not plan steps). state_pred is a placeholder (the fit never
         # reads it — dynamics_error recomputes predictions per candidate).
+        # The pushes EXECUTE in every A/B arm (adaptation-off arms too) so
+        # matched-seed arms plan from the SAME post-excitation scene; only
+        # the recording is PPO-conditional.
         for w in range(ppo_warmup):
             try:
                 st = perceive()
@@ -235,9 +239,11 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                 st_next = perceive()
             except EmptyPerceptionError:
                 break
-            ppo.add_interaction(wact, st, st, st_next)
+            if ppo is not None:
+                ppo.add_interaction(wact, st, st, st_next)
             if verbose:
-                print(f"warmup {w}: excitation push recorded")
+                print(f"warmup {w}: excitation push"
+                      + (" recorded" if ppo is not None else ""))
 
     act_seq = jnp.asarray(
         (np.asarray(task.action_lower_lim) + np.asarray(task.action_upper_lim))

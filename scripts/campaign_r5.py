@@ -213,9 +213,11 @@ def fresh_eval(mat, cfg, ckpt_out, fresh_prep, tag, epoch=None):
 
 
 AB_ARMS = [
+    # every arm executes the SAME 3 excitation pushes (matched post-warmup
+    # start state); only the ppo arm records + fits them
     ("ppo", ["--ppo_warmup", "3"]),
-    ("noppo", ["--no_ppo"]),
-    ("oracle", ["--oracle"]),
+    ("noppo", ["--no_ppo", "--ppo_warmup", "3"]),
+    ("oracle", ["--oracle", "--ppo_warmup", "3"]),
 ]
 
 
