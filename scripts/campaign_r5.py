@@ -52,6 +52,21 @@ def wait_tpu():
     return c.wait_for_tpu(max_wait=min(3000, max(left(), 0)))
 
 
+# Probe economy: tpu_healthy costs 10 s-10 min per call (a fresh axon client
+# through the tunnel), and the round-5 A/B is ~30 short plans back-to-back.
+# After a CLEAN rc=0 child exit the tunnel is almost always fine — skip the
+# probe and only re-probe after a failure/timeout/stall.
+_LAST_CLEAN = {"ok": False}
+
+
+def maybe_wait_tpu():
+    if _LAST_CLEAN["ok"]:
+        return True
+    ok = wait_tpu()
+    _LAST_CLEAN["ok"] = ok
+    return ok
+
+
 def train(mat, cfg=None, prep_dir=None, epochs=50, timeout=2400, out=None):
     cfg = cfg or mat
     out = out or os.path.join("runs", mat)
@@ -63,7 +78,7 @@ def train(mat, cfg=None, prep_dir=None, epochs=50, timeout=2400, out=None):
             record({"stage": "train", "material": mat, "epochs": done,
                     "valid_loss": last_valid, "status": "complete"})
             return True
-        if left() < 300 or not wait_tpu():
+        if left() < 300 or not maybe_wait_tpu():
             record({"stage": "train", "material": mat, "epochs": done,
                     "status": "deadline_or_tpu"})
             return done > 0
@@ -76,6 +91,7 @@ def train(mat, cfg=None, prep_dir=None, epochs=50, timeout=2400, out=None):
             cmd += ["--resume"]
         rc = c.run(cmd, min(timeout, max(left(), 60)), log, stall_timeout=900)
         note(f"train {mat} attempt {attempt}: rc={rc}")
+        _LAST_CLEAN["ok"] = rc == 0
         if rc in ("timeout", "stalled"):
             time.sleep(120)
     done, last_valid = c.epochs_done(out)
@@ -113,9 +129,10 @@ def plan(mat, seed, tag, extra=(), ckpt_dir=None, n_sample=20000, chunk=2000,
            *extra]
     if glob.glob(os.path.join(save_dir, "step_*.npz")):
         cmd += ["--resume"]
-    if not wait_tpu():
+    if not maybe_wait_tpu():
         return
     rc = c.run(cmd, min(timeout, max(left(), 60)), log, stall_timeout=stall)
+    _LAST_CLEAN["ok"] = rc == 0
     errs, initial, phys, truth = [], None, None, None
     if os.path.isdir(save_dir):
         for f in sorted(glob.glob(os.path.join(save_dir, "step_*.npz"))):
@@ -149,10 +166,12 @@ def plan(mat, seed, tag, extra=(), ckpt_dir=None, n_sample=20000, chunk=2000,
 
 def script(name, argv, tag, timeout=2400, stall=1500, need_tpu=True):
     log = os.path.join("runs", "logs", f"{tag}.log")
-    if need_tpu and not wait_tpu():
+    if need_tpu and not maybe_wait_tpu():
         return None
     rc = c.run([sys.executable, name, *argv],
                min(timeout, max(left(), 60)), log, stall_timeout=stall)
+    if need_tpu:
+        _LAST_CLEAN["ok"] = rc == 0
     rows = []
     try:
         with open(log) as f:
@@ -176,9 +195,10 @@ def rollout(mat, cfg=None, prep_dir=None, out=None, tag=None):
            "--config", cfg, "--out_dir", out]
     if prep_dir:
         cmd += ["--prep_dir", prep_dir]
-    if not wait_tpu():
+    if not maybe_wait_tpu():
         return
     rc = c.run(cmd, min(2400, max(left(), 60)), log, stall_timeout=900)
+    _LAST_CLEAN["ok"] = rc == 0
     stats = {}
     sfile = os.path.join(roll, "summary.json")
     if os.path.exists(sfile):
@@ -199,9 +219,10 @@ def fresh_eval(mat, cfg, ckpt_out, fresh_prep, tag, epoch=None):
            "--all_episodes"]
     if epoch is not None:
         cmd += ["--epoch", str(epoch)]
-    if not wait_tpu():
+    if not maybe_wait_tpu():
         return
     rc = c.run(cmd, min(2400, max(left(), 60)), log, stall_timeout=900)
+    _LAST_CLEAN["ok"] = rc == 0
     stats = {}
     sfile = os.path.join(ckpt_out, "rollout", "summary.json")
     if os.path.exists(sfile):

@@ -76,6 +76,37 @@ def main():
               f"| {fmt(est[0]) if est else '—'} "
               f"| {fmt(truth[0]) if truth else '—'} |")
 
+    ab = [(k, v) for k, v in rows.items()
+          if k[0] == "plan" and (v.get("tag") or "").startswith("ab_")
+          and v.get("final") is not None]
+    if ab:
+        print("\n## Adaptation A/B (matched seeds + matched warmup pushes; "
+              "VERDICT r4 #1)\n")
+        print("| material | seed | arm | initial | best | final | "
+              "estimate | true | |est-true| |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        arms = {}
+        for k, v in sorted(ab, key=lambda kv: (kv[0][1], str(kv[1]["tag"]))):
+            tag = v["tag"]  # ab_<arm>_seed<k>
+            arm = tag[3:tag.rindex("_seed")]
+            est, truth = v.get("final_phys_estimate"), v.get("true_phys")
+            gap = (abs(est[0] - truth[0])
+                   if est and truth else None)
+            arms.setdefault((k[1], arm), []).append(
+                (v["final"], v.get("initial_error")))
+            print(f"| {k[1]} | {v.get('seed')} | {arm} "
+                  f"| {fmt(v.get('initial_error'))} | {fmt(v.get('best'))} "
+                  f"| {fmt(v['final'])} | {fmt(est[0]) if est else '—'} "
+                  f"| {fmt(truth[0]) if truth else '—'} | {fmt(gap)} |")
+        print("\n| material | arm | mean final | mean Δ vs initial |")
+        print("|---|---|---|---|")
+        for (mat, arm), vals in sorted(arms.items()):
+            finals = [f for f, _ in vals]
+            deltas = [f - i for f, i in vals if i is not None]
+            import numpy as _np
+            print(f"| {mat} | {arm} | {fmt(float(_np.mean(finals)))} "
+                  f"| {fmt(float(_np.mean(deltas)) if deltas else None)} |")
+
     fresh = [(k, v) for k, v in rows.items() if k[0] == "rollout_fresh_eval"]
     if fresh:
         print("\n## Fresh-test-set rollouts (never-trained episodes)\n")
