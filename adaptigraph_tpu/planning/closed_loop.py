@@ -82,14 +82,11 @@ class TaskConfig:
     verify_retries: int = 2
     min_pred_improvement: float = 0.0
     converge_tolerance: float = 0.02
-    # execute the MPPI softmax-MEAN sequence instead of the argmax sample.
-    # The argmax of 20k model rollouts selects the sample with the most
-    # optimistic model error (round-4 analysis: rope's per-push ranking
-    # signal is smaller than the model's accumulated substep drift, so the
-    # argmax is noise-dominated and executed pushes regress); the weighted
-    # mean averages the top samples and cancels single-sample optimism.
-    # Off by default (reference parity: planner.py executes best_act_seq).
-    execute_mean: bool = False
+    # NOTE: an execute-the-softmax-MEAN variant was A/B'd twice and removed:
+    # provable no-op at reward_weight 500 (r4) and strictly worse than the
+    # argmax at reward_weight 100 (r5 rw100_mean 0.478 vs rw100_argmax
+    # 0.309 final) — the mean of a flat softmax averages incompatible
+    # pushes. Reference parity: planner.py executes best_act_seq.
 
 
 def make_reward_fn(task: TaskConfig, target):
@@ -296,23 +293,8 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                          **({"true_phys": true_phys}
                             if true_phys is not None else {}))
 
-        def apply_execute_mean(r):
-            if not task.execute_mean:
-                return r
-            # re-rollout the mean sequence (B=1) so the gate/PPO see the
-            # prediction for the action actually executed — applied to EVERY
-            # candidate result, including gate retries (ADVICE r4: a retry
-            # used to silently revert to the argmax sample)
-            from adaptigraph_tpu.planning.forward import dynamics_rollout
-
-            out = dynamics_rollout(params, jnp.asarray(state_pad),
-                                   r["mppi_seq"][None], phys, task.dcfg)
-            return {**r, "act_seq": r["mppi_seq"],
-                    "best_final_state": out["state_seqs"][0, -1]}
-
         key, k = jax.random.split(key)
-        res = apply_execute_mean(
-            solve(params, jnp.asarray(state_pad), act_seq, k, phys))
+        res = solve(params, jnp.asarray(state_pad), act_seq, k, phys)
         if task.verify_improvement:
             # execute only a push whose PREDICTED outcome improves on the
             # current error; when it doesn't, re-solve from a FRESH uniform
@@ -329,8 +311,7 @@ def run_plan(env, params, task: TaskConfig, target, pm: PerceptionModule = None,
                     size=(task.mcfg.n_look_ahead,
                           len(task.action_lower_lim))).astype(np.float32))
                 key, k = jax.random.split(key)
-                res2 = apply_execute_mean(
-                    solve(params, jnp.asarray(state_pad), fresh_seq, k, phys))
+                res2 = solve(params, jnp.asarray(state_pad), fresh_seq, k, phys)
                 pred_err2 = error_to_target(
                     np.asarray(res2["best_final_state"])[:n_obj])
                 if pred_err2 < pred_err:
